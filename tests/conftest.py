@@ -1,0 +1,33 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding paths are
+exercised without TPU hardware (the driver separately dry-runs the
+multi-chip path via ``__graft_entry__.dryrun_multichip``).  Env vars must be
+set before jax initializes its backends, hence at conftest import time.
+"""
+
+import os
+import pathlib
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+REFERENCE = pathlib.Path("/root/reference")
+RESOURCES = REFERENCE / "resources"
+
+
+@pytest.fixture(scope="session")
+def resources() -> pathlib.Path:
+    if not RESOURCES.is_dir():
+        pytest.skip("reference corpora not mounted")
+    return RESOURCES
+
+
+def corpus_file(*parts: str) -> pathlib.Path:
+    return RESOURCES.joinpath(*parts)
