@@ -1,0 +1,26 @@
+"""TPU data-path ops: parallel model precompute, vectorized coder, bit packing.
+
+This package is the redux_tpu counterpart of the reference's hot loops
+(codec.rs:55-176, adaptive_tree.rs:63-136) re-derived for SPMD execution:
+
+* :mod:`ranks` — closed-form parallel precompute of per-symbol model values
+  for the encoder (replaces sequential model adaptation on encode);
+* :mod:`coder` — the vectorized Witten–Neal–Cleary interval coder: scans
+  over symbol positions with thousands of independent blocks in the lane
+  dimension;
+* :mod:`bitpack` — host-side packing between per-lane u32 word buffers and
+  byte streams.
+"""
+
+from .ranks import precompute_encode_model
+from .coder import encode_blocks, decode_blocks, CoderConfig
+from .bitpack import streams_to_words, words_to_stream
+
+__all__ = [
+    "precompute_encode_model",
+    "encode_blocks",
+    "decode_blocks",
+    "CoderConfig",
+    "streams_to_words",
+    "words_to_stream",
+]

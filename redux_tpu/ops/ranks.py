@@ -1,0 +1,165 @@
+"""Parallel precompute of per-symbol model values for the encoder.
+
+The reference encoder interleaves model reads with model updates, forcing a
+strict symbol-serial order (codec.rs:56-57 → adaptive_tree.rs:83-92).  But
+the adaptation rule is always "+1 to every cumulative entry above the
+symbol, while not frozen" (adaptive_linear.rs:33-39), so the cumulative
+frequency table at time ``t`` has a closed form:
+
+    cum_t[i] = init_cum[i] + #{ s < min(t, t_freeze) : sym_s < i }
+
+with ``t_freeze = freq_max - init_total`` (the adaptation freeze,
+adaptive_linear.rs:34 / adaptive_tree.rs:84).  Therefore the values the
+coder needs at step ``t`` —
+
+    low_t  = cum_t[v_t]     = init_cum[v_t]     + c_t
+    high_t = cum_t[v_t + 1] = init_cum[v_t + 1] + c_t + d_t
+    tot_t  = init_total + min(t, t_freeze)
+
+— reduce to two *rank* quantities per position, computable in parallel for
+a whole block (and batched over thousands of blocks):
+
+    c_t = #{ s < min(t, t_freeze) : sym_s <  v_t }   (dominance count)
+    d_t = #{ s < min(t, t_freeze) : sym_s == v_t }   (occurrence rank)
+
+This module computes ``(c, d)`` with a chunked scan: a carried per-lane
+histogram provides cross-chunk counts, and an in-chunk pairwise comparison
+(s < t within the chunk) provides the remainder — all wide VPU ops, no
+sequential dependence on the coder.  This is what breaks the reference's
+encode-side bit-serial order on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("n_symbols", "chunk"))
+def _rank_scan(
+    symbols: jax.Array,  # (B, Kp) int32, padded to multiple of chunk
+    contrib_limit: jax.Array,  # (B,) int32: positions s < contrib_limit contribute
+    n_symbols: int,
+    chunk: int,
+):
+    """Chunked scan computing (c, d) ranks for every position.
+
+    Returns ``(c, d)`` of shape ``(B, Kp)`` int32.
+    """
+    B, Kp = symbols.shape
+    n_chunks = Kp // chunk
+    # (n_chunks, B, chunk) time-major chunks for the scan.
+    sym_c = symbols.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+    base = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+
+    tri = jnp.triu(jnp.ones((chunk, chunk), dtype=jnp.int32), k=1)  # [s, t]: s < t
+    alpha = jnp.arange(n_symbols, dtype=jnp.int32)
+
+    def step(hist, xs):
+        # hist: (B, n_symbols) counts of contributing symbols seen so far.
+        v, b0 = xs  # v: (B, chunk) symbols, b0: scalar chunk base offset
+        pos = b0 + jnp.arange(chunk, dtype=jnp.int32)  # (chunk,)
+        m = (pos[None, :] < contrib_limit[:, None]).astype(jnp.int32)  # (B, chunk)
+
+        # Cross-chunk part from the carried histogram.
+        cum = jnp.cumsum(hist, axis=1) - hist  # exclusive cumsum: #{< i}
+        c_carry = jnp.take_along_axis(cum, v, axis=1)  # (B, chunk)
+        d_carry = jnp.take_along_axis(hist, v, axis=1)
+
+        # In-chunk part: pairwise s < t comparisons, contributors masked.
+        lt = (v[:, :, None] < v[:, None, :]).astype(jnp.int32)  # [s, t]
+        eq = (v[:, :, None] == v[:, None, :]).astype(jnp.int32)
+        w = (m[:, :, None] * tri[None, :, :])  # s contributes & s < t
+        c_intra = jnp.einsum("bst,bst->bt", w, lt)
+        d_intra = jnp.einsum("bst,bst->bt", w, eq)
+
+        # Histogram update with this chunk's contributors.
+        onehot = (v[:, :, None] == alpha[None, None, :]).astype(jnp.int32)
+        hist = hist + jnp.einsum("bs,bsi->bi", m, onehot)
+
+        return hist, (c_carry + c_intra, d_carry + d_intra)
+
+    hist0 = jnp.zeros((B, n_symbols), dtype=jnp.int32)
+    _, (c, d) = jax.lax.scan(step, hist0, (sym_c, base))
+    # (n_chunks, B, chunk) -> (B, Kp)
+    c = c.transpose(1, 0, 2).reshape(B, Kp)
+    d = d.transpose(1, 0, 2).reshape(B, Kp)
+    return c, d
+
+
+def precompute_encode_model(
+    symbols: jax.Array,  # (B, K) int32 data symbols (padded with anything past len)
+    lens: jax.Array,  # (B,) int32 valid symbol count per lane
+    init_cum: jax.Array,  # (n_symbols + 1,) int32 initial cumulative row
+    freq_max: int,
+    chunk: int = 128,
+):
+    """Per-position model values for the vectorized encoder.
+
+    Returns ``(lo, hi, tot, eof_lo, eof_hi, eof_tot)``:
+
+    * ``lo/hi/tot``: (B, K) int32 — the model triple the coder consumes at
+      each data position (entries past ``lens`` are don't-care);
+    * ``eof_*``: (B,) int32 — the triple for the EOF symbol encoded at
+      position ``lens`` (closed form: every data symbol sorts below EOF,
+      so EOF's rank contribution is just the update count).
+
+    Exactly reproduces ``model.total_frequency()`` + ``get_frequency``
+    sequences of the reference models (verified by differential tests).
+    """
+    B, K = symbols.shape
+    n_symbols = int(init_cum.shape[0]) - 1  # symbol_count (incl. EOF)
+    init_total = init_cum[n_symbols].astype(jnp.int32)
+    t_freeze = jnp.int32(freq_max) - init_total  # updates stop here
+    contrib_limit = jnp.maximum(0, jnp.minimum(lens, t_freeze))
+
+    chunk = min(chunk, K) if K > 0 else 1
+    Kp = ((K + chunk - 1) // chunk) * chunk
+    if Kp != K:
+        symbols = jnp.pad(symbols, ((0, 0), (0, Kp - K)))
+    c, d = _rank_scan(symbols, contrib_limit, n_symbols, chunk)
+    c, d = c[:, :K], d[:, :K]
+
+    v = symbols[:, :K]
+    init_cum = init_cum.astype(jnp.int32)
+    lo = jnp.take(init_cum, v) + c
+    hi = jnp.take(init_cum, v + 1) + c + d
+    t_idx = jnp.arange(K, dtype=jnp.int32)[None, :]
+    tot = init_total + jnp.minimum(jnp.minimum(t_idx, lens[:, None]), t_freeze)
+
+    n_upd = jnp.maximum(0, jnp.minimum(lens, t_freeze))  # updates before EOF
+    eof_lo = init_cum[n_symbols - 1] + n_upd
+    eof_hi = init_cum[n_symbols] + n_upd
+    eof_tot = init_cum[n_symbols] + n_upd
+    return lo, hi, tot, eof_lo, eof_hi, eof_tot
+
+
+def precompute_encode_model_np(symbols, lens, init_cum, freq_max):
+    """Slow numpy oracle of :func:`precompute_encode_model` for testing."""
+    symbols = np.asarray(symbols)
+    lens = np.asarray(lens)
+    init_cum = np.asarray(init_cum, dtype=np.int64)
+    B, K = symbols.shape
+    n_symbols = init_cum.shape[0] - 1
+    t_freeze = int(freq_max - init_cum[n_symbols])
+    lo = np.zeros((B, K), dtype=np.int64)
+    hi = np.zeros((B, K), dtype=np.int64)
+    tot = np.zeros((B, K), dtype=np.int64)
+    eof = np.zeros((B, 3), dtype=np.int64)
+    for b in range(B):
+        cum = init_cum.copy()
+        L = int(lens[b])
+        for t in range(K):
+            v = int(symbols[b, t])
+            lo[b, t], hi[b, t], tot[b, t] = cum[v], cum[v + 1], cum[n_symbols]
+            if t < min(L, t_freeze):
+                cum[v + 1 :] += 1
+        # recompute cum at time L for the EOF triple
+        cum = init_cum.copy()
+        for t in range(min(L, t_freeze)):
+            cum[int(symbols[b, t]) + 1 :] += 1
+        eof[b] = (cum[n_symbols - 1], cum[n_symbols], cum[n_symbols])
+    return lo, hi, tot, eof[:, 0], eof[:, 1], eof[:, 2]

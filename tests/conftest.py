@@ -9,14 +9,28 @@ set before jax initializes its backends, hence at conftest import time.
 import os
 import pathlib
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the harness exports JAX_PLATFORMS=axon (the tunneled TPU),
+# which is far too slow for the dispatch-heavy unit tests and must be
+# reserved for benchmarks.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
 import pytest  # noqa: E402
+
+# Some pytest plugins import jax before this conftest runs, making the env
+# var too late — force the platform through the config API as well (works
+# until a backend is actually initialized).
+jax.config.update("jax_platforms", "cpu")
+
+# The coder kernels (scan + nested while loops) are expensive to compile;
+# cache compilations across test runs.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE = pathlib.Path("/root/reference")
 RESOURCES = REFERENCE / "resources"

@@ -1,0 +1,78 @@
+"""RXT1 container format and high-level encode/decode API tests."""
+
+import numpy as np
+import pytest
+
+from redux_tpu import api, container
+from redux_tpu.errors import InvalidInputError
+from redux_tpu.params import Parameters
+
+from conftest import corpus_file
+
+
+@pytest.mark.parametrize("block_size", [512, 4096])
+def test_roundtrip_corpus_file(block_size):
+    data = corpus_file("calgary", "paper5").read_bytes()
+    arc = api.encode(data, block_size=block_size)
+    assert api.decode(arc) == data
+
+
+def test_roundtrip_degenerate_inputs():
+    for data in [b"", b"x", b"a" * 10000, bytes(range(256)) * 8]:
+        arc = api.encode(data, block_size=1024)
+        assert api.decode(arc) == data
+
+
+def test_roundtrip_incompressible():
+    data = np.random.default_rng(0).integers(0, 256, 8192, dtype=np.uint8).tobytes()
+    arc = api.encode(data, block_size=2048)
+    assert api.decode(arc) == data
+
+
+def test_roundtrip_tpu32_params():
+    data = corpus_file("calgary", "paper4").read_bytes()
+    arc = api.encode(data, params=Parameters.tpu32(), block_size=2048)
+    assert api.decode(arc) == data
+
+
+def test_prior_improves_payload():
+    data = corpus_file("calgary", "paper1").read_bytes()[:20000]
+    with_prior = api.encode(data, block_size=4096, use_prior=True)
+    without = api.encode(data, block_size=4096, use_prior=False)
+    # Prior must shrink the payload by more than the 512-byte table on
+    # ordinary text at this size.
+    assert len(with_prior) < len(without)
+    assert api.decode(with_prior) == data
+    assert api.decode(without) == data
+
+
+def test_header_parse_and_fields():
+    data = b"hello world " * 400
+    arc = api.encode(data, block_size=1024)
+    header, streams = container.parse_archive(arc)
+    assert header.orig_len == len(data)
+    assert header.block_size == 1024
+    assert header.n_blocks == len(streams) == (len(data) + 1023) // 1024
+    assert sum(header.block_lens) == len(data)
+    assert container.is_rxt_archive(arc)
+
+
+def test_corrupt_archives_rejected():
+    data = b"payload payload payload" * 100
+    arc = api.encode(data, block_size=512)
+    with pytest.raises(InvalidInputError):
+        container.parse_archive(b"NOPE" + arc[4:])
+    with pytest.raises(InvalidInputError):
+        container.parse_archive(arc[:20])  # truncated header
+    with pytest.raises(InvalidInputError):
+        container.parse_archive(arc[:-5])  # truncated payload
+
+
+def test_decode_auto_dispatch():
+    from redux_tpu.oracle import compress_bytes
+
+    data = b"auto-detect me " * 50
+    arc = api.encode(data, block_size=512)
+    ref = compress_bytes(data)
+    assert api.decode_auto(arc) == data
+    assert api.decode_auto(ref) == data  # bare reference-format stream
