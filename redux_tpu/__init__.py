@@ -31,9 +31,20 @@ Layering (cf. the reference layer map, SURVEY.md §1):
 exact u64 products (codec.rs:59-60); JAX x64 mode is enabled at import.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compile cache: the coder kernels (long scans with nested
+# while loops) take tens of seconds to minutes to compile; caching makes
+# every process after the first start instantly.  Opt out with
+# REDUX_TPU_COMPILE_CACHE=0, redirect with REDUX_TPU_COMPILE_CACHE=<dir>.
+_cache_dir = _os.environ.get("REDUX_TPU_COMPILE_CACHE", "/root/.cache/jax")
+if _cache_dir and _cache_dir != "0":
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from .errors import EofError, InvalidInputError, ReduxError, ReduxIOError
 from .params import Parameters

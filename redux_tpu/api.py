@@ -39,9 +39,7 @@ from .params import Parameters
 
 def _pad_lanes(n: int) -> int:
     """Round the lane count up to limit jit recompilation across inputs."""
-    if n <= 8:
-        return max(n, 1)
-    return 1 << math.ceil(math.log2(n))
+    return 1 << max(2, math.ceil(math.log2(max(n, 1))))
 
 
 def _static_words(params: Parameters, k: int) -> int:

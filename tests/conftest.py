@@ -27,10 +27,8 @@ import pytest  # noqa: E402
 # until a backend is actually initialized).
 jax.config.update("jax_platforms", "cpu")
 
-# The coder kernels (scan + nested while loops) are expensive to compile;
-# cache compilations across test runs.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# (The persistent compile cache itself is configured by the redux_tpu
+# package import — tests share the same cache directory.)
 
 REFERENCE = pathlib.Path("/root/reference")
 RESOURCES = REFERENCE / "resources"
