@@ -32,7 +32,13 @@ from .container import DEFAULT_BLOCK_SIZE, DEFAULT_PRIOR_BUDGET
 from .errors import InvalidInputError
 from .models.dense import prior_init_cum, quantize_prior, uniform_init_cum
 from .ops.bitpack import streams_to_words, words_to_streams
-from .ops.coder import decode_blocks, encode_blocks, max_block_words
+from .ops.coder import (
+    bytes_to_words_device,
+    decode_blocks,
+    encode_blocks,
+    max_block_words,
+    words_to_bytes_device,
+)
 from .ops.ranks import precompute_encode_model
 from .params import Parameters
 
@@ -56,7 +62,9 @@ def _split_blocks(data: bytes, block_size: int):
         lens[-1] = len(data) % block_size
     b_pad = _pad_lanes(n_blocks)
     k = block_size
-    syms = np.zeros(b_pad * k, dtype=np.int32)
+    # uint8 on purpose: the host->device path is fastest for bytes; the
+    # rank kernel widens on-device.
+    syms = np.zeros(b_pad * k, dtype=np.uint8)
     syms[: len(data)] = np.frombuffer(data, dtype=np.uint8)
     syms = syms.reshape(b_pad, k)
     lens_pad = np.zeros(b_pad, dtype=np.int32)
@@ -106,11 +114,16 @@ def encode(
     words, byte_lens = encode_blocks(
         lo, hi, tot, el, eh, et, jnp.asarray(lens), params, n_words
     )
-    words = np.asarray(words)
     byte_lens = np.asarray(byte_lens)
     if int(byte_lens[:n_blocks].max(initial=0)) > 4 * n_words:
         raise InvalidInputError()  # buffer bound violated — never silent
-    streams = words_to_streams(words[:n_blocks], byte_lens[:n_blocks])
+    # Trim to the words actually used and fetch as uint8 (fast transfer).
+    wcap = _pad_lanes(max(1, -(-int(byte_lens[:n_blocks].max(initial=1)) // 4)))
+    wcap = min(wcap, n_words)
+    byts = np.asarray(words_to_bytes_device(words[:, :wcap]))
+    streams = [
+        byts[i, : byte_lens[i]].tobytes() for i in range(n_blocks)
+    ]
     return container.build_archive(params, block_size, len(data), streams, prior_extra)
 
 
@@ -127,16 +140,60 @@ def decode(archive: bytes) -> bytes:
     k = header.block_size
     n_words = _static_words(params, k)
     b_pad = _pad_lanes(n_blocks)
-    words = np.zeros((b_pad, n_words), dtype=np.uint32)
-    words[:n_blocks] = streams_to_words(streams, n_words)
+    # Ship compressed bytes to the device as uint8 (fast transfer path),
+    # sized to the words actually needed; pack to u32 on-device.
+    wcap = _pad_lanes(max(2, -(-max(header.block_byte_lens) // 4)))
+    wcap = min(wcap, n_words)
+    byts = np.zeros((b_pad, wcap * 4), dtype=np.uint8)
+    for i, s in enumerate(streams):
+        byts[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
     lens_pad = np.zeros(b_pad, dtype=np.int32)
     lens_pad[:n_blocks] = block_lens
+    words = bytes_to_words_device(jnp.asarray(byts))
     syms = np.asarray(
-        decode_blocks(jnp.asarray(words), jnp.asarray(lens_pad), jnp.asarray(ic), params, k)
+        decode_blocks(words, jnp.asarray(lens_pad), jnp.asarray(ic), params, k)
     )
     # Blocks are contiguous and full-sized except the last, so the flattened
     # symbol matrix's first orig_len entries are exactly the original bytes.
     return syms[:n_blocks].astype(np.uint8).reshape(-1)[: header.orig_len].tobytes()
+
+
+def encode_auto(
+    data: bytes,
+    params: Optional[Parameters] = None,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+) -> bytes:
+    """Compress picking the smallest of three self-decodable candidates.
+
+    1. RXT1 with the warm-start prior (wins on large/skewed inputs);
+    2. RXT1 with uniform init (wins when the prior table doesn't pay);
+    3. a bare reference-format stream (wins on small inputs where any
+       container overhead exceeds the block-parallel gain — byte-identical
+       to what the reference CLI would emit, main.rs:108).
+
+    All three are recognized by :func:`decode_auto`, so the choice is
+    invisible to the decoder.  Guarantees output never larger than the
+    reference's for the same parameters (BASELINE.md size target).
+    """
+    params = params or Parameters.default()
+    candidates = [encode(data, params=params, block_size=block_size, use_prior=True)]
+    if len(data) >= 4096:  # without a prior the two rxt variants coincide
+        candidates.append(
+            encode(data, params=params, block_size=block_size, use_prior=False)
+        )
+    if len(data) <= (1 << 20):  # serial encode is cheap for small inputs
+        try:
+            from . import native
+
+            candidates.append(native.compress_bytes(data, params))
+        except Exception:
+            from .models.fenwick import AdaptiveFenwickModel
+
+            if len(data) <= (1 << 16):
+                candidates.append(
+                    oracle.compress_bytes(data, AdaptiveFenwickModel(params))
+                )
+    return min(candidates, key=len)
 
 
 def decode_auto(data: bytes, params: Optional[Parameters] = None) -> bytes:
@@ -148,9 +205,15 @@ def decode_auto(data: bytes, params: Optional[Parameters] = None) -> bytes:
     """
     if container.is_rxt_archive(data):
         return decode(data)
-    model = None
-    if params is not None:
-        from .models.fenwick import AdaptiveFenwickModel
+    try:
+        from . import native
 
-        model = AdaptiveFenwickModel(params)
-    return oracle.decompress_bytes(data, model)
+        return native.decompress_bytes(data, params)
+    except (ImportError, RuntimeError):  # pragma: no cover - build issues only
+        # (codec errors are ReduxError, not RuntimeError — they propagate)
+        model = None
+        if params is not None:
+            from .models.fenwick import AdaptiveFenwickModel
+
+            model = AdaptiveFenwickModel(params)
+        return oracle.decompress_bytes(data, model)

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import sys
 
-USAGE = "Usage: redux-tpu (-c | -d) [-i <input file>] [-o <output file>] [--format rxt|redux] [--block-size N] [--params S,F,C] [--no-prior]"
+USAGE = "Usage: redux-tpu (-c | -d) [-i <input file>] [-o <output file>] [--format rxt|redux|auto] [--block-size N] [--params S,F,C] [--no-prior]"
 
 
 def _parse_args(argv):
@@ -57,7 +57,7 @@ def _parse_args(argv):
                 return None
         elif arg == "--format":
             fmt = next(it, None)
-            if fmt not in ("rxt", "redux"):
+            if fmt not in ("rxt", "redux", "auto"):
                 return None
             opts["format"] = fmt
         elif arg == "--block-size":
@@ -114,10 +114,23 @@ def main(argv=None) -> int:
     try:
         if opts["compress"]:
             if opts["format"] == "redux":
-                from . import oracle
-                from .models.fenwick import AdaptiveFenwickModel
+                try:
+                    from . import native
 
-                out = oracle.compress_bytes(data, AdaptiveFenwickModel(params))
+                    out = native.compress_bytes(data, params)
+                except (ImportError, RuntimeError):
+                    from . import oracle
+                    from .models.fenwick import AdaptiveFenwickModel
+
+                    out = oracle.compress_bytes(data, AdaptiveFenwickModel(params))
+            elif opts["format"] == "auto":
+                from . import api
+
+                out = api.encode_auto(
+                    data,
+                    params=params,
+                    **({"block_size": opts["block_size"]} if opts["block_size"] else {}),
+                )
             else:
                 from . import api
 

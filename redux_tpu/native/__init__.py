@@ -1,0 +1,124 @@
+"""ctypes bindings for the native sequential codec.
+
+Builds ``redux_native.cpp`` on demand with g++ (cached as
+``_redux_native.so`` next to the source; pybind11 is unavailable in this
+environment so the binding layer is a small C ABI + ctypes).  The native
+codec is the fast host-side path for reference-format single streams and
+the empirical performance baseline (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+from ..errors import EofError, InvalidInputError
+from ..params import Parameters
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "redux_native.cpp")
+_SO = os.path.join(_DIR, "_redux_native.so")
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", _SO + ".tmp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (OSError, subprocess.SubprocessError) as e:
+        raise NativeUnavailable(f"native build failed: {e}") from e
+    os.replace(_SO + ".tmp", _SO)
+
+
+def get_lib() -> ctypes.CDLL:
+    """Load (building if needed) the native codec library."""
+    global _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        lib.rdx_compress.restype = ctypes.c_int64
+        lib.rdx_compress.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib.rdx_decompress.restype = ctypes.c_int64
+        lib.rdx_decompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        _LIB = lib
+        return lib
+
+
+def _prior_ptr(prior_extra):
+    if prior_extra is None:
+        return None, None
+    arr = np.ascontiguousarray(prior_extra, dtype=np.uint16)
+    assert arr.shape == (256,)
+    return arr, arr.ctypes.data_as(ctypes.c_void_p)
+
+
+def compress_bytes(
+    data: bytes, params: Optional[Parameters] = None, prior_extra=None
+) -> bytes:
+    """Reference-format compress (byte-identical to the reference CLI)."""
+    p = params or Parameters.default()
+    lib = get_lib()
+    cap = len(data) * 2 + 4096 + len(data) // 2
+    out = np.empty(cap, dtype=np.uint8)
+    arr, ptr = _prior_ptr(prior_extra)
+    n = lib.rdx_compress(
+        data, len(data), out.ctypes.data_as(ctypes.c_void_p), cap,
+        p.symbol_bits, p.freq_bits, p.code_bits, ptr,
+    )
+    if n == -1:
+        raise InvalidInputError()
+    if n == -2:  # pragma: no cover - capacity bound generous
+        raise InvalidInputError()
+    return out[:n].tobytes()
+
+
+def decompress_bytes(
+    data: bytes,
+    params: Optional[Parameters] = None,
+    prior_extra=None,
+    nsyms: int = -1,
+    max_out: Optional[int] = None,
+) -> bytes:
+    """Reference-format decompress; ``nsyms >= 0`` decodes exactly that many
+    symbols (stored-length container termination)."""
+    p = params or Parameters.default()
+    lib = get_lib()
+    cap = max_out if max_out is not None else max(len(data) * 8 + 4096, 1 << 20)
+    arr, ptr = _prior_ptr(prior_extra)
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        n = lib.rdx_decompress(
+            data, len(data), out.ctypes.data_as(ctypes.c_void_p), cap,
+            p.symbol_bits, p.freq_bits, p.code_bits, ptr, nsyms,
+        )
+        if n == -1:
+            raise EofError()
+        if n == -2:  # output larger than guess: grow and retry
+            if max_out is not None:
+                raise InvalidInputError()
+            cap *= 8
+            continue
+        return out[:n].tobytes()

@@ -1,28 +1,39 @@
-"""Vectorized Witten–Neal–Cleary interval coder.
+"""Vectorized Witten–Neal–Cleary interval coder with closed-form renorm.
 
-The reference coder (``/root/reference/src/codec.rs``) is a bit-serial
-state machine.  Here the SAME state machine — identical interval
-narrowing (codec.rs:58-60,133-135), E1/E2/E3 renormalization
-(codec.rs:62-89,141-158), pending-bit emission (codec.rs:39-46), EOF
-extra-bit drain (codec.rs:91-99) and zero-padded flush — runs over a
-*batch axis of independent blocks*: every jnp op below is shaped
-``(B, ...)`` where ``B`` is thousands of blocks, so the sequential scan is
-over symbol positions only while the VPU lanes carry the blocks.  The
-bitstream produced for each block is bit-identical to what the reference
-would produce for that block's bytes (verified differentially against
-:mod:`redux_tpu.oracle`).
+The reference coder (``/root/reference/src/codec.rs``) renormalizes one bit
+at a time: E1/E2 emit/consume a bit while the interval sits in one half,
+E3 handles the middle-straddle underflow (codec.rs:62-89,141-158).  A
+bit-serial loop is the worst possible shape for TPU, so this module
+re-derives the SAME state machine in closed form, processing each symbol's
+entire renormalization with a handful of wide vector ops and **no per-bit
+loops**:
 
-Encode consumes the precomputed per-position model triples from
-:mod:`redux_tpu.ops.ranks` — the encoder never touches a model table.
-Decode cannot precompute (symbols are unknown), so it carries one dense
-cumulative row per block and does rank-select + masked suffix add per step
-(the :class:`~redux_tpu.models.dense.DenseModel` formulation).
+* E1/E2 run length ``n1`` = number of common leading bits of ``low`` and
+  ``high`` (tops equal ⇔ exactly the E1/E2 conditions) = ``clz(low ^ high)``
+  in code_bits width.  The emitted bits are the top ``n1`` bits of ``low``,
+  with the reference's pending-bit flush after the first emitted bit
+  (codec.rs:39-46).
+* E3 run length ``n3`` = min(leading 1s of ``low`` after its top 0,
+  leading 0s of ``high`` after its top 1) — each E3 step removes the
+  second bit of both bounds (codec.rs:75-82).  ``pending += n3``.
+* Interval updates collapse to shift/mask forms:
+  ``low ← ((low << n1) & mask) << n3  & (mask >> 1)`` (with the top bit
+  pattern preserved), etc. — verified bit-exact against the per-bit oracle.
+* The decoder tracks ``z = pending - low`` (the offset of the code value
+  within the interval): every renorm step maps to ``z ← (z << 1) | bit``
+  regardless of E1/E2/E3, so the decoder consumes ``n1 + n3`` bits per
+  symbol in at most two chunked window reads.  The symbol-locate formula
+  ``value = ((z + 1)·count - 1)/range`` is codec.rs:131 with
+  ``z = pending - low``.
 
-Integer width policy (see ``Parameters.fits_u32``): all interval math runs
-in ``uint32`` when ``code_bits + freq_bits <= 32`` (native TPU ints) and in
-``int64`` otherwise (products bounded by ``2**(code+freq) <= 2**62`` for
-``code_bits <= 32``, exact in XLA's emulated 64-bit).  The vectorized path
-requires ``code_bits <= 32``; wider configs use the sequential oracle.
+Batching: every op is shaped ``(B, ...)`` over independent blocks, so the
+sequential ``lax.scan`` is over symbol positions only while the VPU lanes
+carry blocks.  Per-block output streams are bit-identical to the
+reference/oracle (differential tests in tests/test_jax_codec.py).
+
+Integer width policy (``Parameters.fits_u32``): uint32 when
+``code_bits + freq_bits <= 32`` (native TPU ints), int64 otherwise
+(products < 2**62 for code_bits <= 32, exact in XLA's emulated 64-bit).
 """
 
 from __future__ import annotations
@@ -60,63 +71,13 @@ def max_block_words(max_count: int, n_symbols: int, params: Parameters, k: int) 
     return total_bits // 32 + 2
 
 
-def _flush_full(buf, nword, acc, accbits, rows, n_words, wdt):
-    """Flush a full 32-bit word from lanes whose accumulator just filled."""
-    full = accbits == 32
-    idx = jnp.minimum(nword, n_words - 1)
-    cur = buf[rows, idx]
-    word = acc.astype(jnp.uint32)
-    buf = buf.at[rows, idx].set(jnp.where(full, word, cur))
-    nword = nword + full.astype(jnp.int32)
-    acc = jnp.where(full, jnp.zeros_like(acc), acc)
-    accbits = jnp.where(full, 0, accbits)
-    return buf, nword, acc, accbits
+def _clz(x, wdt):
+    """Count leading zeros in the full dtype width (clz(0) = width)."""
+    return jax.lax.clz(x).astype(jnp.int32)
 
 
-def _emit_run(buf, nword, acc, accbits, bit, n, mask, rows, n_words, wdt):
-    """Append ``n`` copies of ``bit`` to masked lanes' bit accumulators.
-
-    Equivalent to ``n`` reference ``write_bits(bit, 1)`` calls
-    (bitio/mod.rs:148-181) per lane; maintains the invariant
-    ``acc < 2**accbits``, ``accbits < 32`` between calls.
-    """
-    n = jnp.where(mask, n, 0).astype(jnp.int32)
-    one = jnp.asarray(1, wdt)
-
-    def cond(c):
-        return jnp.any(c[4] > 0)
-
-    def body(c):
-        buf, nword, acc, accbits, n = c
-        m = jnp.minimum(n, 32 - accbits)  # per-lane chunk, 0 when done
-        msh = m.astype(wdt)
-        chunk = jnp.where(bit > 0, (one << msh) - one, jnp.zeros_like(acc))
-        acc = (acc << msh) | chunk
-        accbits = accbits + m
-        n = n - m
-        buf, nword, acc, accbits = _flush_full(
-            buf, nword, acc, accbits, rows, n_words, wdt
-        )
-        return (buf, nword, acc, accbits, n)
-
-    buf, nword, acc, accbits, _ = jax.lax.while_loop(
-        cond, body, (buf, nword, acc, accbits, n)
-    )
-    return buf, nword, acc, accbits
-
-
-def _put_bit(buf, nword, acc, accbits, pending, bit, mask, rows, n_words, wdt):
-    """Reference ``put_bit``: one ``bit`` then ``pending`` opposite bits
-    (codec.rs:39-46), for masked lanes."""
-    buf, nword, acc, accbits = _emit_run(
-        buf, nword, acc, accbits, bit, jnp.ones_like(pending), mask, rows, n_words, wdt
-    )
-    opp = jnp.asarray(1, wdt) - bit
-    buf, nword, acc, accbits = _emit_run(
-        buf, nword, acc, accbits, opp, pending, mask, rows, n_words, wdt
-    )
-    pending = jnp.where(mask, 0, pending)
-    return buf, nword, acc, accbits, pending
+def _word_bits(wdt) -> int:
+    return 32 if wdt == jnp.uint32 else 64
 
 
 @functools.partial(jax.jit, static_argnames=("params", "n_words"))
@@ -134,18 +95,69 @@ def encode_blocks(lo, hi, tot, eof_lo, eof_hi, eof_tot, lens, params: Parameters
       ``(words, byte_lens)``: ``(B, n_words)`` uint32 big-endian bit
       buffers and ``(B,)`` int32 compressed byte counts.  Each lane's
       first ``byte_lens[b]`` bytes are a complete reference-format stream
-      for that block (EOF symbol + extra bits + zero padding included,
+      for that block (EOF symbol + extra bits + zero padding,
       codec.rs:91-99).
     """
     B, K = lo.shape
     wdt = coder_dtype(params)
+    W = _word_bits(wdt)
+    cb = params.code_bits
     half = jnp.asarray(params.code_half, wdt)
     q1 = jnp.asarray(params.code_one_fourth, wdt)
-    q3 = jnp.asarray(params.code_three_fourths, wdt)
     cmax = jnp.asarray(params.code_max, wdt)
+    cmax_half = jnp.asarray(params.code_max >> 1, wdt)  # mask with top bit clear
     one = jnp.asarray(1, wdt)
     zero = jnp.asarray(0, wdt)
     rows = jnp.arange(B)
+
+    def flush_full(buf, nword, acc, accbits):
+        full = accbits == 32
+        idx = jnp.minimum(nword, n_words - 1)
+        cur = buf[rows, idx]
+        buf = buf.at[rows, idx].set(jnp.where(full, acc.astype(jnp.uint32), cur))
+        nword = nword + full.astype(jnp.int32)
+        acc = jnp.where(full, zero, acc)
+        accbits = jnp.where(full, 0, accbits)
+        return buf, nword, acc, accbits
+
+    def append_bits(state, value, nbits, mask):
+        """Append ``nbits`` (<= 32) of ``value`` to masked lanes.
+
+        Maintains ``acc < 2**accbits``, ``accbits < 32``; at most two
+        word-boundary chunks, statically unrolled (no data-dependent loop).
+        """
+        buf, nword, acc, accbits = state
+        n = jnp.where(mask, nbits, 0).astype(jnp.int32)
+        value = jnp.where(mask, value, zero)
+        for _ in range(2):  # one word boundary can be crossed at most once
+            m = jnp.minimum(n, 32 - accbits)
+            msh = m.astype(wdt)
+            rem = (n - m).astype(wdt)
+            chunk = jnp.where(m > 0, value >> rem, zero) & ((one << msh) - one)
+            acc = jnp.where(m > 0, (acc << msh) | chunk, acc)
+            accbits = accbits + m
+            value = value & ((one << rem) - one)
+            n = n - m
+            buf, nword, acc, accbits = flush_full(buf, nword, acc, accbits)
+        return (buf, nword, acc, accbits)
+
+    def append_run(state, bit, n, mask):
+        """Append ``n`` copies of ``bit`` (n unbounded, expected tiny)."""
+        n = jnp.where(mask, n, 0).astype(jnp.int32)
+
+        def cond(c):
+            return jnp.any(c[1] > 0)
+
+        def body(c):
+            state, n = c
+            # Chunk cap 31 keeps every shift amount < dtype width.
+            m = jnp.minimum(n, 31)
+            pat = jnp.where(bit > 0, (one << m.astype(wdt)) - one, zero)
+            state = append_bits(state, pat, m, n > 0)
+            return (state, n - m)
+
+        state, _ = jax.lax.while_loop(cond, body, (state, n))
+        return state
 
     def scan_step(carry, t):
         low, high, pending, extra, acc, accbits, nword, buf, bytelens, done = carry
@@ -166,61 +178,58 @@ def encode_blocks(lo, hi, tot, eof_lo, eof_hi, eof_tot, lens, params: Parameters
         low = jnp.where(active, nlow, low)
         high = jnp.where(active, nhigh, high)
 
-        # E1/E2/E3 renormalization (codec.rs:62-89).
-        def rcond(c):
-            low, high = c[0], c[1]
-            c1 = high < half
-            c2 = low >= half
-            c3 = (~c1) & (~c2) & (low >= q1) & (high < q3)
-            return jnp.any(active & (c1 | c2 | c3))
-
-        def rbody(c):
-            low, high, pending, extra, acc, accbits, nword, buf = c
-            c1 = high < half
-            c2 = low >= half
-            c3 = (~c1) & (~c2) & (low >= q1) & (high < q3)
-            go = active & (c1 | c2 | c3)
-            emit = go & (c1 | c2)
-            bit = jnp.where(c2, one, zero)
-            buf, nword, acc, accbits, pending = _put_bit(
-                buf, nword, acc, accbits, pending, bit, emit, rows, n_words, wdt
-            )
-            e3 = go & c3
-            pending = pending + e3.astype(jnp.int32)
-            low = jnp.where(e3, low - q1, low)
-            high = jnp.where(e3, high - q1, high)
-            extra = extra - (go & is_eof).astype(jnp.int32)
-            low = jnp.where(go, (low << one) & cmax, low)
-            high = jnp.where(go, ((high << one) | one) & cmax, high)
-            return (low, high, pending, extra, acc, accbits, nword, buf)
-
-        low, high, pending, extra, acc, accbits, nword, buf = jax.lax.while_loop(
-            rcond, rbody, (low, high, pending, extra, acc, accbits, nword, buf)
+        # Closed-form renorm counts.
+        x = low ^ high
+        n1 = jnp.where(active, _clz(x, wdt) - (W - cb), 0)
+        # Shift out the n1 common bits (reference: per-iteration
+        # (low<<1)&mask / ((high<<1)+1)&mask, codec.rs:87-88).
+        n1w = n1.astype(wdt)
+        low1 = jnp.where(active, (low << n1w) & cmax, low)
+        high1 = jnp.where(active, ((high << n1w) | ((one << n1w) - one)) & cmax, high)
+        # E3 count: leading 1s of low1 after its top 0 / leading 0s of high1
+        # after its top 1 (only valid when tops differ, i.e. post-n1 state).
+        shift_top = W - cb + 1
+        low_sh = (low1 << shift_top).astype(wdt)
+        high_sh = (high1 << shift_top).astype(wdt)
+        a = _clz(~low_sh, wdt)
+        b = _clz(high_sh, wdt)
+        n3 = jnp.where(active, jnp.minimum(jnp.minimum(a, b), cb - 1), 0)
+        n3w = n3.astype(wdt)
+        low2 = jnp.where(active, (low1 << n3w) & cmax_half, low1)
+        high2 = jnp.where(
+            active, (((high1 << n3w) | ((one << n3w) - one)) & cmax_half) | half, high1
         )
 
-        # EOF epilogue: drain `extra` disambiguation bits from low
-        # (codec.rs:91-99), then flush to a byte boundary.
-        def dcond(c):
-            extra = c[2]
-            return jnp.any(is_eof & (extra > 0))
+        # Emission: [b1][pending opposite bits][remaining n1-1 prefix bits]
+        # (put_bit semantics, codec.rs:39-46).
+        emit = active & (n1 > 0)
+        prefix = jnp.where(emit, low >> (jnp.asarray(cb, wdt) - n1.astype(wdt)), zero)
+        b1 = prefix >> jnp.maximum(n1 - 1, 0).astype(wdt)
+        rest = prefix & ((one << jnp.maximum(n1 - 1, 0).astype(wdt)) - one)
+        state = (buf, nword, acc, accbits)
+        state = append_bits(state, b1, jnp.ones_like(n1), emit)
+        state = append_run(state, one - b1, pending, emit)
+        state = append_bits(state, rest, n1 - 1, emit)
+        pending = jnp.where(emit, 0, pending) + n3
+        extra = extra - jnp.where(is_eof, n1 + n3, 0)
 
-        def dbody(c):
-            low, pending, extra, acc, accbits, nword, buf = c
-            m = is_eof & (extra > 0)
-            bit = jnp.where((low & half) != zero, one, zero)
-            buf, nword, acc, accbits, pending = _put_bit(
-                buf, nword, acc, accbits, pending, bit, m, rows, n_words, wdt
-            )
-            low = jnp.where(m, (low << one) & cmax, low)
-            extra = extra - m.astype(jnp.int32)
-            return (low, pending, extra, acc, accbits, nword, buf)
+        # EOF epilogue: drain `extra` bits of low (codec.rs:91-99) with the
+        # same emission pattern, then flush to a byte boundary.
+        low = low2
+        high = high2
+        drain = is_eof & (extra > 0)
+        ndr = jnp.where(drain, jnp.maximum(extra, 0), 0)
+        dprefix = jnp.where(drain, low >> (jnp.asarray(cb, wdt) - ndr.astype(wdt)), zero)
+        d1 = dprefix >> jnp.maximum(ndr - 1, 0).astype(wdt)
+        drest = dprefix & ((one << jnp.maximum(ndr - 1, 0).astype(wdt)) - one)
+        state = append_bits(state, d1, jnp.ones_like(ndr), drain)
+        state = append_run(state, one - d1, pending, drain)
+        state = append_bits(state, drest, ndr - 1, drain)
+        pending = jnp.where(drain, 0, pending)
+        buf, nword, acc, accbits = state
 
-        low, pending, extra, acc, accbits, nword, buf = jax.lax.while_loop(
-            dcond, dbody, (low, pending, extra, acc, accbits, nword, buf)
-        )
-
-        # flush_bits: pad the partial byte with zeros (bitio/mod.rs:183-198)
-        # and left-justify the tail word for big-endian byte extraction.
+        # flush_bits: zero-pad to a byte (bitio/mod.rs:183-198) and
+        # left-justify the tail word for big-endian byte extraction.
         padn = ((8 - (accbits % 8)) % 8).astype(jnp.int32)
         acc = jnp.where(is_eof, acc << padn.astype(wdt), acc)
         accbits = jnp.where(is_eof, accbits + padn, accbits)
@@ -241,7 +250,7 @@ def encode_blocks(lo, hi, tot, eof_lo, eof_hi, eof_tot, lens, params: Parameters
         jnp.full((B,), params.code_min, wdt),  # low  (codec.rs:30)
         jnp.full((B,), params.code_max, wdt),  # high (codec.rs:31)
         jnp.zeros((B,), jnp.int32),  # pending
-        jnp.full((B,), params.code_bits, jnp.int32),  # extra (codec.rs:33)
+        jnp.full((B,), cb, jnp.int32),  # extra (codec.rs:33)
         jnp.zeros((B,), wdt),  # acc
         jnp.zeros((B,), jnp.int32),  # accbits
         jnp.zeros((B,), jnp.int32),  # nword
@@ -269,103 +278,164 @@ def decode_blocks(words, lens, init_cum, params: Parameters, k: int):
 
     Returns:
       ``(B, k)`` int32 decoded symbols (entries past ``lens`` are 0).
+
+    The bitstream is consumed through a per-lane two-word register window
+    (``cur``/``nxt``) refilled by at most one masked gather per read, so
+    the hot loop is pure vector arithmetic — no per-bit I/O (the
+    reference's get_bit-per-renorm-iteration, codec.rs:147-157, is
+    replaced by chunked window reads of the same bits).
     """
-    B, W = words.shape
+    B, Wn = words.shape
     S = params.symbol_count
     wdt = coder_dtype(params)
+    W = _word_bits(wdt)
+    cb = params.code_bits
     half = jnp.asarray(params.code_half, wdt)
-    q1 = jnp.asarray(params.code_one_fourth, wdt)
-    q3 = jnp.asarray(params.code_three_fourths, wdt)
+    cmax = jnp.asarray(params.code_max, wdt)
+    cmax_half = jnp.asarray(params.code_max >> 1, wdt)
     one = jnp.asarray(1, wdt)
-    zero = jnp.asarray(0, wdt)
+    u1 = jnp.uint32(1)
     freq_max = params.freq_max
     rows = jnp.arange(B)
     iota = jnp.arange(S + 1, dtype=jnp.int32)
 
-    def read_bit(bitpos):
-        idx = jnp.minimum(bitpos >> 5, W - 1)
-        off = (bitpos & 31).astype(jnp.uint32)
-        w = words[rows, idx]
-        return ((w >> (31 - off)) & 1).astype(wdt)
+    def read_bits(win, m):
+        """Read ``m`` (<= 31) bits from the register window; 1 masked gather."""
+        cur, avail, nxt, wordidx = win
+        take1 = jnp.minimum(m, avail)
+        t1s = (32 - take1).astype(jnp.uint32)
+        v1 = jnp.where(take1 > 0, cur >> t1s, jnp.uint32(0))
+        cur = jnp.where(take1 > 0, cur << take1.astype(jnp.uint32), cur)
+        avail = avail - take1
+        m2 = m - take1
+        need2 = m2 > 0
+        m2c = jnp.maximum(m2, 1).astype(jnp.uint32)
+        v2 = jnp.where(need2, nxt >> (32 - m2c), jnp.uint32(0))
+        cur = jnp.where(need2, nxt << m2c, cur)
+        avail = jnp.where(need2, 32 - m2, avail)
+        # Refill nxt (one gather, masked by need2).
+        idx = jnp.minimum(wordidx, Wn - 1)
+        loaded = words[rows, idx]
+        nxt = jnp.where(need2, loaded, nxt)
+        wordidx = wordidx + need2.astype(jnp.int32)
+        val = ((v1 << m2c) | v2).astype(wdt)
+        val = jnp.where(need2, val, v1.astype(wdt))
+        return val, (cur, avail, nxt, wordidx)
 
-    # Prime code_bits bits into the code value (codec.rs:124-127).
-    cb = params.code_bits
-    w0 = words[:, 0]
-    if cb <= 32:
-        if wdt == jnp.uint32:
-            pending0 = (w0 >> (32 - cb)).astype(wdt) if cb < 32 else w0.astype(wdt)
-        else:
-            pending0 = (w0.astype(jnp.int64) >> (32 - cb)) if cb < 32 else w0.astype(jnp.int64)
-    else:  # pragma: no cover - excluded by coder_dtype
-        raise ValueError("code_bits > 32 unsupported")
+    win0 = (
+        words[:, 0],
+        jnp.full((B,), 32, jnp.int32),
+        words[:, 1] if Wn > 1 else jnp.zeros((B,), jnp.uint32),
+        jnp.full((B,), 2, jnp.int32),
+    )
+    # Prime: z = first code_bits bits (z = pending - low with low = 0,
+    # codec.rs:124-127).
+    n_reads = 1 if cb <= 31 else 2
+    z0 = jnp.zeros((B,), wdt)
+    prime = jnp.full((B,), cb, jnp.int32)
+    win = win0
+    for _ in range(2):
+        m = jnp.minimum(prime, 31)
+        val, win = read_bits(win, m)
+        z0 = (z0 << m.astype(wdt)) | val
+        prime = prime - m
 
     def scan_step(carry, t):
-        low, high, pending, bitpos, cdf = carry
+        low, high, z, cdf, win = carry
         active = t < lens
 
         rng = high - low + one
         count = cdf[:, S].astype(wdt)
-        value = ((pending - low + one) * count - one) // rng  # codec.rs:131
+        value = ((z + one) * count - one) // rng  # codec.rs:131 with z=pending-low
         v32 = jnp.clip(value, 0, jnp.asarray(2**31 - 1, wdt)).astype(jnp.int32)
         # Rank-select on the dense cumulative row: first i with value < cdf[i+1].
-        sym = jnp.sum((cdf[:, 1:] <= v32[:, None]).astype(jnp.int32), axis=1)
+        below = (cdf[:, 1:] <= v32[:, None]).astype(jnp.int32)
+        sym = jnp.sum(below, axis=1)
         sym = jnp.minimum(sym, S - 1)
-        flo = jnp.take_along_axis(cdf, sym[:, None], axis=1)[:, 0].astype(wdt)
-        fhi = jnp.take_along_axis(cdf, sym[:, None] + 1, axis=1)[:, 0].astype(wdt)
+        # Bounds via masked reduction (gathers are slow on the TPU lanes).
+        sel_lo = (iota[None, :] == sym[:, None]).astype(jnp.int32)
+        sel_hi = (iota[None, :] == (sym + 1)[:, None]).astype(jnp.int32)
+        flo = jnp.sum(cdf * sel_lo, axis=1).astype(wdt)
+        fhi = jnp.sum(cdf * sel_hi, axis=1).astype(wdt)
 
         # Adapt: +1 above the symbol unless frozen (adaptive_linear.rs:33-39).
         upd = active & (cdf[:, S] < freq_max)
         cdf = cdf + ((iota[None, :] > sym[:, None]) & upd[:, None]).astype(jnp.int32)
 
+        # Narrow; z moves with low (z' = pending - low').
+        dlo = (rng * flo) // count
         nhigh = low + (rng * fhi) // count - one
-        nlow = low + (rng * flo) // count
+        nlow = low + dlo
+        z = jnp.where(active, z - dlo, z)
         low = jnp.where(active, nlow, low)
         high = jnp.where(active, nhigh, high)
 
-        # Decoder renormalization (codec.rs:141-158): mirror of the encoder,
-        # consuming one bit per iteration; no code_max masking (the E2/E3
-        # subtraction keeps values in range before the shift).
-        def rcond(c):
-            low, high = c[0], c[1]
-            c1 = high < half
-            c2 = low >= half
-            c3 = (~c1) & (~c2) & (low >= q1) & (high < q3)
-            return jnp.any(active & (c1 | c2 | c3))
-
-        def rbody(c):
-            low, high, pending, bitpos = c
-            c1 = high < half
-            c2 = low >= half
-            c3 = (~c1) & (~c2) & (low >= q1) & (high < q3)
-            go = active & (c1 | c2 | c3)
-            sub = jnp.where(c2, half, jnp.where(c3, q1, zero))
-            sub = jnp.where(go, sub, zero)
-            pending = pending - sub
-            low = low - sub
-            high = high - sub
-            bit = read_bit(bitpos)
-            low = jnp.where(go, low << one, low)
-            high = jnp.where(go, (high << one) | one, high)
-            pending = jnp.where(go, (pending << one) | bit, pending)
-            bitpos = bitpos + go.astype(jnp.int32)
-            return (low, high, pending, bitpos)
-
-        low, high, pending, bitpos = jax.lax.while_loop(
-            rcond, rbody, (low, high, pending, bitpos)
+        # Closed-form renorm counts (identical to the encoder's).
+        x = low ^ high
+        n1 = jnp.where(active, _clz(x, wdt) - (W - cb), 0)
+        n1w = n1.astype(wdt)
+        low1 = jnp.where(active, (low << n1w) & cmax, low)
+        high1 = jnp.where(active, ((high << n1w) | ((one << n1w) - one)) & cmax, high)
+        shift_top = W - cb + 1
+        a = _clz(~((low1 << shift_top).astype(wdt)), wdt)
+        b = _clz((high1 << shift_top).astype(wdt), wdt)
+        n3 = jnp.where(active, jnp.minimum(jnp.minimum(a, b), cb - 1), 0)
+        n3w = n3.astype(wdt)
+        low = jnp.where(active, (low1 << n3w) & cmax_half, low1)
+        high = jnp.where(
+            active, (((high1 << n3w) | ((one << n3w) - one)) & cmax_half) | half, high1
         )
+
+        # Consume n1 + n3 bits (n <= code_bits <= 32): z <- (z << n) | bits.
+        n = n1 + n3
+        for _ in range(n_reads):
+            m = jnp.minimum(n, 31)
+            val, win = read_bits(win, m)
+            mw = m.astype(wdt)
+            z = jnp.where(m > 0, (z << mw) | val, z)
+            n = n - m
+
         out = jnp.where(active, sym, 0)
-        return (low, high, pending, bitpos, cdf), out
+        if params.symbol_bits <= 8:  # uint8 minimizes the fetch transfer
+            out = out.astype(jnp.uint8)
+        return (low, high, z, cdf, win), out
 
     init = (
         jnp.full((B,), params.code_min, wdt),
         jnp.full((B,), params.code_max, wdt),
-        pending0,
-        jnp.full((B,), cb, jnp.int32),
+        z0,
         jnp.broadcast_to(init_cum.astype(jnp.int32), (B, S + 1)),
+        win,
     )
     ts = jnp.arange(k, dtype=jnp.int32)
     _, syms = jax.lax.scan(scan_step, init, ts)
     return syms.T  # (B, k)
+
+
+@jax.jit
+def words_to_bytes_device(words):
+    """(B, W) uint32 → (B, 4W) uint8, big-endian byte order.
+
+    Host↔device transfers through the axon tunnel are far faster for
+    uint8 than for wider dtypes, so compressed words are converted to
+    bytes on-device before fetching.
+    """
+    b = words.shape[0]
+    parts = [
+        (words >> 24).astype(jnp.uint8),
+        (words >> 16).astype(jnp.uint8),
+        (words >> 8).astype(jnp.uint8),
+        words.astype(jnp.uint8),
+    ]
+    return jnp.stack(parts, axis=-1).reshape(b, -1)
+
+
+@jax.jit
+def bytes_to_words_device(byts):
+    """(B, 4W) uint8 → (B, W) uint32, big-endian byte order."""
+    b = byts.shape[0]
+    r = byts.reshape(b, -1, 4).astype(jnp.uint32)
+    return (r[..., 0] << 24) | (r[..., 1] << 16) | (r[..., 2] << 8) | r[..., 3]
 
 
 # Backwards-compatible alias used by high-level code.

@@ -110,6 +110,7 @@ def precompute_encode_model(
     Exactly reproduces ``model.total_frequency()`` + ``get_frequency``
     sequences of the reference models (verified by differential tests).
     """
+    symbols = symbols.astype(jnp.int32)  # accepts uint8 (cheap transfer dtype)
     B, K = symbols.shape
     n_symbols = int(init_cum.shape[0]) - 1  # symbol_count (incl. EOF)
     init_total = init_cum[n_symbols].astype(jnp.int32)
