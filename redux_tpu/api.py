@@ -44,8 +44,16 @@ from .params import Parameters
 
 
 def _pad_lanes(n: int) -> int:
-    """Round the lane count up to limit jit recompilation across inputs."""
-    return 1 << max(2, math.ceil(math.log2(max(n, 1))))
+    """Round the lane count up to limit jit recompilation across inputs.
+
+    Multiples of 256 keep the lane (minor) dimension aligned to the VPU's
+    128-wide registers with at most ~10% padding waste for large inputs
+    (a power-of-two policy wastes up to 2x); tiny inputs snap to powers
+    of two so the smallest shapes stay cache-friendly across calls.
+    """
+    if n <= 256:
+        return 1 << max(2, math.ceil(math.log2(max(n, 1))))
+    return ((n + 255) // 256) * 256
 
 
 def _static_words(params: Parameters, k: int) -> int:
