@@ -36,6 +36,7 @@ from .ops.coder import (
     bytes_to_words_device,
     decode_blocks,
     encode_blocks,
+    encode_blocks_fast,
     max_block_words,
     words_to_bytes_device,
 )
@@ -95,8 +96,13 @@ def encode(
     use_prior: Optional[bool] = None,
     prior_budget: int = DEFAULT_PRIOR_BUDGET,
 ) -> bytes:
-    """Compress ``data`` into an RXT1 block-parallel archive."""
-    params = params or Parameters.default()
+    """Compress ``data`` into an RXT1 block-parallel archive.
+
+    The default configuration is :meth:`Parameters.tpu32` — uint32-native
+    interval arithmetic and an int16 model row on device.  The archive
+    header records the parameters, so any valid config round-trips.
+    """
+    params = params or Parameters.tpu32()
     if params.symbol_bits != 8:
         raise InvalidInputError()  # byte-oriented container
     if use_prior is None:
@@ -119,9 +125,25 @@ def encode(
         jnp.asarray(syms), jnp.asarray(lens), jnp.asarray(ic), params.freq_max
     )
     n_words = _static_words(params, k)
-    words, byte_lens = encode_blocks(
-        lo, hi, tot, el, eh, et, jnp.asarray(lens), params, n_words
-    )
+    lens_j = jnp.asarray(lens)
+    if params.fits_u32:
+        words, byte_lens, ovf = encode_blocks_fast(
+            lo, hi, tot, el, eh, et, lens_j, params, n_words
+        )
+        ovf = np.asarray(ovf)
+        if ovf.any():
+            # Pathological E3 pending runs (> 64 bits, probability ~2^-47
+            # per symbol): re-encode the flagged lanes with the
+            # reference-shaped encoder — identical stream format.
+            sel = np.nonzero(ovf)[0]
+            sub = tuple(jnp.asarray(np.asarray(x)[sel]) for x in (lo, hi, tot, el, eh, et))
+            w_fb, bl_fb = encode_blocks(*sub, lens_j[sel], params, n_words)
+            words = jnp.asarray(np.asarray(words)).at[sel].set(w_fb)
+            byte_lens = jnp.asarray(np.asarray(byte_lens)).at[sel].set(bl_fb)
+    else:
+        words, byte_lens = encode_blocks(
+            lo, hi, tot, el, eh, et, lens_j, params, n_words
+        )
     byte_lens = np.asarray(byte_lens)
     if int(byte_lens[:n_blocks].max(initial=0)) > 4 * n_words:
         raise InvalidInputError()  # buffer bound violated — never silent
@@ -183,23 +205,28 @@ def encode_auto(
     invisible to the decoder.  Guarantees output never larger than the
     reference's for the same parameters (BASELINE.md size target).
     """
-    params = params or Parameters.default()
+    params = params or Parameters.tpu32()
     candidates = [encode(data, params=params, block_size=block_size, use_prior=True)]
     if len(data) >= 4096:  # without a prior the two rxt variants coincide
         candidates.append(
             encode(data, params=params, block_size=block_size, use_prior=False)
         )
     if len(data) <= (1 << 20):  # serial encode is cheap for small inputs
+        # Bare streams carry no parameter header, so this candidate always
+        # uses the reference CLI config (main.rs:108) — byte-identical to
+        # the reference's own output, which also anchors the size
+        # guarantee vs. the reference.
+        ref_params = Parameters.default()
         try:
             from . import native
 
-            candidates.append(native.compress_bytes(data, params))
+            candidates.append(native.compress_bytes(data, ref_params))
         except Exception:
             from .models.fenwick import AdaptiveFenwickModel
 
             if len(data) <= (1 << 16):
                 candidates.append(
-                    oracle.compress_bytes(data, AdaptiveFenwickModel(params))
+                    oracle.compress_bytes(data, AdaptiveFenwickModel(ref_params))
                 )
     return min(candidates, key=len)
 

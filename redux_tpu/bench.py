@@ -28,7 +28,7 @@ def _sync(*arrays) -> None:
 
 
 def run_device_benchmark(data: bytes, block_size: int = BLOCK_SIZE, iters: int = 3):
-    params = Parameters.default()
+    params = Parameters.tpu32()
     syms_np, lens_np, n_blocks = api._split_blocks(data, block_size)
     ic = api._init_cum(params, None)
     k = block_size
@@ -41,20 +41,20 @@ def run_device_benchmark(data: bytes, block_size: int = BLOCK_SIZE, iters: int =
 
     def encode_step():
         pre = precompute_encode_model(syms, lens, icj, params.freq_max)
-        return coder.encode_blocks(*pre, lens, params, n_words)
+        return coder.encode_blocks_fast(*pre, lens, params, n_words)
 
     def decode_step(words):
         return coder.decode_blocks(words, lens, icj, params, k)
 
     # Warm up (compile) both directions.
-    words, byte_lens = encode_step()
+    words, byte_lens, ovf = encode_step()
     decoded = decode_step(words)
-    _sync(words, byte_lens, decoded)
+    _sync(words, byte_lens, ovf, decoded)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        words, byte_lens = encode_step()
-    _sync(words, byte_lens)
+        words, byte_lens, ovf = encode_step()
+    _sync(words, byte_lens, ovf)
     t1 = time.perf_counter()
     for _ in range(iters):
         decoded = decode_step(words)

@@ -294,10 +294,13 @@ def decode_blocks(words, lens, init_cum, params: Parameters, k: int):
     cmax = jnp.asarray(params.code_max, wdt)
     cmax_half = jnp.asarray(params.code_max >> 1, wdt)
     one = jnp.asarray(1, wdt)
-    u1 = jnp.uint32(1)
     freq_max = params.freq_max
+    # The cumulative row fits int16 whenever freq_max does (freq_bits <= 15):
+    # halves the per-step HBM traffic of the model state, the decode
+    # bottleneck.  All comparisons stay exact (values are non-negative).
+    cdt = jnp.int16 if freq_max <= 32767 else jnp.int32
+    sentinel = jnp.asarray(freq_max, cdt)
     rows = jnp.arange(B)
-    iota = jnp.arange(S + 1, dtype=jnp.int32)
 
     def read_bits(win, m):
         """Read ``m`` (<= 31) bits from the register window; 1 masked gather."""
@@ -347,20 +350,19 @@ def decode_blocks(words, lens, init_cum, params: Parameters, k: int):
         rng = high - low + one
         count = cdf[:, S].astype(wdt)
         value = ((z + one) * count - one) // rng  # codec.rs:131 with z=pending-low
-        v32 = jnp.clip(value, 0, jnp.asarray(2**31 - 1, wdt)).astype(jnp.int32)
-        # Rank-select on the dense cumulative row: first i with value < cdf[i+1].
-        below = (cdf[:, 1:] <= v32[:, None]).astype(jnp.int32)
-        sym = jnp.sum(below, axis=1)
-        sym = jnp.minimum(sym, S - 1)
-        # Bounds via masked reduction (gathers are slow on the TPU lanes).
-        sel_lo = (iota[None, :] == sym[:, None]).astype(jnp.int32)
-        sel_hi = (iota[None, :] == (sym + 1)[:, None]).astype(jnp.int32)
-        flo = jnp.sum(cdf * sel_lo, axis=1).astype(wdt)
-        fhi = jnp.sum(cdf * sel_hi, axis=1).astype(wdt)
-
-        # Adapt: +1 above the symbol unless frozen (adaptive_linear.rs:33-39).
-        upd = active & (cdf[:, S] < freq_max)
-        cdf = cdf + ((iota[None, :] > sym[:, None]) & upd[:, None]).astype(jnp.int32)
+        value = jnp.minimum(value, count - one)  # garbage-input guard
+        vq = value.astype(cdt)
+        # One fused pass over the cumulative row: the comparison mask gives
+        # the symbol (popcount), both bounds (masked max/min — the row is
+        # strictly increasing), and the adaptation mask (+1 above the
+        # symbol unless frozen, adaptive_linear.rs:33-39).
+        b = cdf <= vq[:, None]
+        sym = jnp.sum(b, axis=1, dtype=jnp.int32) - 1
+        sym = jnp.clip(sym, 0, S - 1)
+        flo = jnp.max(jnp.where(b, cdf, 0), axis=1).astype(wdt)
+        fhi = jnp.min(jnp.where(b, sentinel, cdf), axis=1).astype(wdt)
+        upd = active & (cdf[:, S] < sentinel)
+        cdf = cdf + jnp.where(b | ~upd[:, None], 0, 1).astype(cdt)
 
         # Narrow; z moves with low (z' = pending - low').
         dlo = (rng * flo) // count
@@ -404,12 +406,260 @@ def decode_blocks(words, lens, init_cum, params: Parameters, k: int):
         jnp.full((B,), params.code_min, wdt),
         jnp.full((B,), params.code_max, wdt),
         z0,
-        jnp.broadcast_to(init_cum.astype(jnp.int32), (B, S + 1)),
+        jnp.broadcast_to(init_cum.astype(cdt), (B, S + 1)),
         win,
     )
     ts = jnp.arange(k, dtype=jnp.int32)
     _, syms = jax.lax.scan(scan_step, init, ts)
     return syms.T  # (B, k)
+
+
+# ---------------------------------------------------------------------------
+# Fast planned encoder (uint32 configs): scatter-free, scan-light.
+#
+# The straightforward encoder above appends bits into a (B, n_words) buffer
+# from inside the symbol scan — a dozen scatters of a multi-MB array per
+# step, which measures ~1000x slower than HBM speed-of-light on TPU.  The
+# planned encoder removes every scatter from the hot loop:
+#
+#   1. *Plan scan*: carries only (B,)-shaped coder state plus a 96-bit
+#      left-aligned bit accumulator per lane.  Each step builds the step's
+#      emitted bits as ONE <=64-bit "piece" [b1][pending opposite bits][rest]
+#      (the closed-form renorm emission, codec.rs:39-46/62-89), ORs it into
+#      the accumulator, and flushes at most two completed u32 words as scan
+#      outputs (dense writes — no indexed stores).
+#   2. *EOF drain* (codec.rs:91-99) is one piece per lane, appended after
+#      the scan with pure (B,) vector math.
+#   3. *Compaction*: a lane's stream is the sequence of its valid flushed
+#      words.  An int16 cumulative count + a vectorized binary search
+#      (13 take_along_axis gathers) maps every output word slot to its
+#      producing step — gathers only, which TPUs do well, instead of the
+#      scatter XLA serializes.
+#
+# Lanes whose E3 `pending` run would not fit the 64-bit piece (probability
+# ~2^-47 per symbol) are flagged in `ovf` and must be re-encoded with the
+# reference-shaped encoder above; the output stream format is bit-identical
+# between the two paths.
+# ---------------------------------------------------------------------------
+
+_U32 = jnp.uint32
+_MASK5 = jnp.uint32(31)
+
+
+def _u(x):
+    return x.astype(_U32) if hasattr(x, "astype") else jnp.uint32(x)
+
+
+def _ones64(n):
+    """(hi, lo) = 2**n - 1 for n in [0, 63] (clamped)."""
+    n = jnp.clip(n, 0, 63).astype(_U32)
+    hi = jnp.where(n > 32, (_u(1) << ((n - 32) & _MASK5)) - 1, _u(0))
+    lo = jnp.where(n >= 32, _u(0xFFFFFFFF), (_u(1) << (n & _MASK5)) - 1)
+    return hi, lo
+
+
+def _leftalign64(hi, lo, m):
+    """Shift an m-bit value (right-aligned in 64) to the top; 0 if m == 0."""
+    s = jnp.clip(64 - m, 0, 63).astype(_U32)
+    sl = s & _MASK5
+    ge32 = s >= 32
+    nh_lt = (hi << sl) | jnp.where(sl == 0, _u(0), lo >> ((32 - sl) & _MASK5))
+    nh = jnp.where(ge32, lo << sl, nh_lt)
+    nl = jnp.where(ge32, _u(0), lo << sl)
+    valid = m > 0
+    return jnp.where(valid, nh, 0), jnp.where(valid, nl, 0)
+
+
+def _piece64(lead, run_len, rest, rest_len):
+    """[lead][run_len x ~lead][rest(rest_len bits)] right-aligned in 64.
+
+    The per-step emission pattern of the coder: first resolved bit, the
+    E3 pending flush of opposite bits (codec.rs:39-46), then the remaining
+    resolved prefix bits.  rest_len must be < 32; run_len is clamped to 63
+    (callers flag overflow separately).
+    """
+    opp_hi, opp_lo = _ones64(run_len)
+    opp_hi = jnp.where(lead == 0, opp_hi, 0)
+    opp_lo = jnp.where(lead == 0, opp_lo, 0)
+    sh = jnp.clip(rest_len, 0, 31).astype(_U32)
+    oh = (opp_hi << sh) | jnp.where(sh == 0, _u(0), opp_lo >> ((32 - sh) & _MASK5))
+    ol = opp_lo << sh
+    pos = jnp.clip(run_len + rest_len, 0, 63).astype(_U32)
+    lh = jnp.where(pos >= 32, lead << ((pos - 32) & _MASK5), _u(0))
+    ll = jnp.where(pos < 32, lead << (pos & _MASK5), _u(0))
+    return oh | lh, ol | ll | rest
+
+
+def _append96(a0, a1, a2, accbits, lhi, llo):
+    """OR a left-aligned 64-bit piece into a 96-bit left-aligned window."""
+    o = accbits.astype(_U32) & _MASK5
+    p0 = lhi >> o
+    p1 = jnp.where(o == 0, llo, (lhi << ((32 - o) & _MASK5)) | (llo >> o))
+    p2 = jnp.where(o == 0, _u(0), llo << ((32 - o) & _MASK5))
+    return a0 | p0, a1 | p1, a2 | p2
+
+
+@functools.partial(jax.jit, static_argnames=("params", "n_words"))
+def encode_blocks_fast(
+    lo, hi, tot, eof_lo, eof_hi, eof_tot, lens, params: Parameters, n_words: int
+):
+    """Planned encoder: same contract as :func:`encode_blocks` plus ``ovf``.
+
+    Returns ``(words, byte_lens, ovf)``; lanes with ``ovf`` set hit the
+    pathological-pending bound and must be re-encoded with
+    :func:`encode_blocks` (identical stream format).  Requires a uint32
+    configuration (``params.fits_u32``).
+    """
+    if not params.fits_u32:
+        raise ValueError("encode_blocks_fast requires code_bits + freq_bits <= 32")
+    B, K = lo.shape
+    cb = params.code_bits
+    cmax = _u(params.code_max)
+    cmax_half = _u(params.code_max >> 1)
+    half = _u(params.code_half)
+    one = _u(1)
+
+    def scan_step(carry, t):
+        (low, high, pending, extra, a0, a1, a2, accbits, done, ovf) = carry
+        is_eof = (t == lens) & ~done
+        active = (t <= lens) & ~done
+        tmin = jnp.minimum(t, K - 1)
+        lo_t = jax.lax.dynamic_index_in_dim(lo, tmin, axis=1, keepdims=False)
+        hi_t = jax.lax.dynamic_index_in_dim(hi, tmin, axis=1, keepdims=False)
+        tot_t = jax.lax.dynamic_index_in_dim(tot, tmin, axis=1, keepdims=False)
+        flo = _u(jnp.where(is_eof, eof_lo, lo_t))
+        fhi = _u(jnp.where(is_eof, eof_hi, hi_t))
+        count = _u(jnp.where(is_eof, eof_tot, tot_t))
+
+        # Interval narrowing (codec.rs:58-60).
+        rng = high - low + one
+        nhigh = low + (rng * fhi) // count - one
+        nlow = low + (rng * flo) // count
+        low = jnp.where(active, nlow, low)
+        high = jnp.where(active, nhigh, high)
+
+        # Closed-form renorm counts (see module docstring).
+        n1 = jnp.where(active, _clz(low ^ high, _U32) - (32 - cb), 0)
+        n1w = _u(n1)
+        low1 = jnp.where(active, (low << n1w) & cmax, low)
+        high1 = jnp.where(active, ((high << n1w) | ((one << n1w) - one)) & cmax, high)
+        shift_top = 32 - cb + 1
+        a = _clz(~(low1 << shift_top), _U32)
+        b = _clz(high1 << shift_top, _U32)
+        n3 = jnp.where(active, jnp.minimum(jnp.minimum(a, b), cb - 1), 0)
+        n3w = _u(n3)
+        low2 = jnp.where(active, (low1 << n3w) & cmax_half, low1)
+        high2 = jnp.where(
+            active, (((high1 << n3w) | ((one << n3w) - one)) & cmax_half) | half, high1
+        )
+
+        # This step's piece: [b1][pending opposite][n1-1 prefix bits].
+        emit = active & (n1 > 0)
+        prefix = jnp.where(emit, low >> _u(cb - n1), _u(0))
+        b1 = prefix >> _u(jnp.maximum(n1 - 1, 0))
+        rest = prefix & ((one << _u(jnp.maximum(n1 - 1, 0))) - one)
+        m1 = jnp.where(emit, n1 + pending, 0)
+        ovf = ovf | (m1 > 64)
+        m1 = jnp.minimum(m1, 64)
+        phi, plo = _piece64(b1, pending, rest, jnp.maximum(n1 - 1, 0))
+        lhi, llo = _leftalign64(phi, plo, m1)
+        a0n, a1n, a2n = _append96(a0, a1, a2, accbits, lhi, llo)
+        a0 = jnp.where(emit, a0n, a0)
+        a1 = jnp.where(emit, a1n, a1)
+        a2 = jnp.where(emit, a2n, a2)
+        accbits = accbits + m1
+        pending = jnp.where(emit, 0, pending) + n3
+        extra = extra - jnp.where(is_eof, n1 + n3, 0)
+
+        # Flush up to two completed words (dense scan outputs, no scatter).
+        f1 = accbits >= 32
+        w0 = jnp.where(f1, a0, 0)
+        a0 = jnp.where(f1, a1, a0)
+        a1 = jnp.where(f1, a2, a1)
+        a2 = jnp.where(f1, _u(0), a2)
+        accbits = jnp.where(f1, accbits - 32, accbits)
+        f2 = accbits >= 32
+        w1 = jnp.where(f2, a0, 0)
+        a0 = jnp.where(f2, a1, a0)
+        a1 = jnp.where(f2, a2, a1)
+        a2 = jnp.where(f2, _u(0), a2)
+        accbits = jnp.where(f2, accbits - 32, accbits)
+        nv = f1.astype(jnp.int8) + f2.astype(jnp.int8)
+
+        low = low2
+        high = high2
+        done = done | is_eof
+        carry = (low, high, pending, extra, a0, a1, a2, accbits, done, ovf)
+        return carry, (w0, w1, nv)
+
+    init = (
+        jnp.full((B,), params.code_min, _U32),  # low  (codec.rs:30)
+        jnp.full((B,), params.code_max, _U32),  # high (codec.rs:31)
+        jnp.zeros((B,), jnp.int32),  # pending
+        jnp.full((B,), cb, jnp.int32),  # extra (codec.rs:33)
+        jnp.zeros((B,), _U32),  # a0..a2: 96-bit left-aligned window
+        jnp.zeros((B,), _U32),
+        jnp.zeros((B,), _U32),
+        jnp.zeros((B,), jnp.int32),  # accbits
+        jnp.zeros((B,), bool),  # done
+        jnp.zeros((B,), bool),  # ovf
+    )
+    ts = jnp.arange(K + 1, dtype=jnp.int32)
+    carry, (ws0, ws1, nv) = jax.lax.scan(scan_step, init, ts)
+    low, _, pending, extra, a0, a1, a2, accbits, _, ovf = carry
+
+    # EOF drain (codec.rs:91-99): one piece per lane, appended post-scan.
+    drain = extra > 0
+    ndr = jnp.where(drain, extra, 0)
+    dprefix = jnp.where(drain, low >> _u(jnp.clip(cb - ndr, 0, 31)), _u(0))
+    d1 = dprefix >> _u(jnp.maximum(ndr - 1, 0))
+    drest = dprefix & ((one << _u(jnp.maximum(ndr - 1, 0))) - one)
+    m2 = jnp.where(drain, ndr + pending, 0)
+    ovf = ovf | (m2 > 64)
+    m2 = jnp.minimum(m2, 64)
+    phi, plo = _piece64(d1, jnp.where(drain, pending, 0), drest, jnp.maximum(ndr - 1, 0))
+    lhi, llo = _leftalign64(phi, plo, m2)
+    t0, t1, t2 = _append96(a0, a1, a2, accbits, lhi, llo)
+    t0 = jnp.where(drain, t0, a0)
+    t1 = jnp.where(drain, t1, a1)
+    t2 = jnp.where(drain, t2, a2)
+    tail_bits = accbits + m2
+
+    # Word compaction: map each output slot to its producing scan step via
+    # binary search on the inclusive valid-word count (gathers only).
+    T = K + 1
+    c = jnp.cumsum(nv, axis=0, dtype=jnp.int16)  # (T, B) inclusive counts
+    nw = c[-1].astype(jnp.int32)  # scan-flushed words per lane
+    W = n_words
+    wi = jnp.arange(W, dtype=jnp.int16)[:, None]  # (W, 1) output slots
+
+    lo_t = jnp.zeros((W, B), jnp.int32)
+    hi_t = jnp.full((W, B), T, jnp.int32)
+    for _ in range(max(1, math.ceil(math.log2(T + 1)))):
+        mid = (lo_t + hi_t) >> 1
+        cm = jnp.take_along_axis(c, mid, axis=0)  # (W, B)
+        pred = cm > wi
+        hi_t = jnp.where(pred, mid, hi_t)
+        lo_t = jnp.where(pred, lo_t, mid + 1)
+    step = jnp.minimum(lo_t, T - 1)
+    cg = jnp.take_along_axis(c, step, axis=0).astype(jnp.int32)
+    nvg = jnp.take_along_axis(nv, step, axis=0).astype(jnp.int32)
+    w0g = jnp.take_along_axis(ws0, step, axis=0)
+    w1g = jnp.take_along_axis(ws1, step, axis=0)
+    slot = wi.astype(jnp.int32) - (cg - nvg)
+    scan_word = jnp.where(slot == 0, w0g, w1g)
+
+    # Tail words (<=3) follow the scan-flushed words; bits past the drain
+    # are zero by construction, which is exactly flush_bits' zero padding
+    # (bitio/mod.rs:183-198).
+    dt = wi.astype(jnp.int32) - nw[None, :]
+    word = jnp.where(
+        dt < 0,
+        scan_word,
+        jnp.where(dt == 0, t0[None, :], jnp.where(dt == 1, t1[None, :], jnp.where(dt == 2, t2[None, :], 0))),
+    )
+    byte_lens = (nw * 32 + tail_bits + 7) // 8
+    return word.T, byte_lens.astype(jnp.int32), ovf
 
 
 @jax.jit

@@ -22,11 +22,18 @@ a whole block (and batched over thousands of blocks):
     c_t = #{ s < min(t, t_freeze) : sym_s <  v_t }   (dominance count)
     d_t = #{ s < min(t, t_freeze) : sym_s == v_t }   (occurrence rank)
 
-This module computes ``(c, d)`` with a chunked scan: a carried per-lane
-histogram provides cross-chunk counts, and an in-chunk pairwise comparison
-(s < t within the chunk) provides the remainder — all wide VPU ops, no
-sequential dependence on the coder.  This is what breaks the reference's
-encode-side bit-serial order on TPU.
+Computation is **fully parallel — no sequential scan**:
+
+1. per-chunk symbol histograms ``H[b, k, a]`` (one fused compare-reduce);
+2. exclusive prefix sums of ``H`` over the chunk axis (cross-chunk
+   counts) and over the alphabet axis (dominance), giving the
+   carry-in ranks by two gathers; and
+3. an in-chunk pairwise term ``#{s < t in chunk : v_s (<|=) v_t}``
+   (fused compare-multiply-reduce over the ``chunk×chunk`` triangle).
+
+This is what breaks the reference's encode-side bit-serial order on TPU:
+every op is a wide VPU fusion over (blocks × chunks × chunk) with no
+dependence on the coder.
 """
 
 from __future__ import annotations
@@ -39,54 +46,45 @@ import numpy as np
 
 
 @functools.partial(jax.jit, static_argnames=("n_symbols", "chunk"))
-def _rank_scan(
-    symbols: jax.Array,  # (B, Kp) int32, padded to multiple of chunk
+def _ranks_parallel(
+    symbols: jax.Array,  # (B, Kp) int32, padded to a multiple of chunk
     contrib_limit: jax.Array,  # (B,) int32: positions s < contrib_limit contribute
     n_symbols: int,
     chunk: int,
 ):
-    """Chunked scan computing (c, d) ranks for every position.
-
-    Returns ``(c, d)`` of shape ``(B, Kp)`` int32.
-    """
+    """(c, d) ranks for every position, shape ``(B, Kp)`` int32 each."""
     B, Kp = symbols.shape
-    n_chunks = Kp // chunk
-    # (n_chunks, B, chunk) time-major chunks for the scan.
-    sym_c = symbols.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
-    base = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    nc = Kp // chunk
+    vc = symbols.reshape(B, nc, chunk)
+    pos = (
+        jnp.arange(nc, dtype=jnp.int32)[:, None] * chunk
+        + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    )  # (nc, chunk) global positions
+    m = pos[None] < contrib_limit[:, None, None]  # (B, nc, chunk) contributors
 
-    tri = jnp.triu(jnp.ones((chunk, chunk), dtype=jnp.int32), k=1)  # [s, t]: s < t
+    # 1. Per-chunk histograms (fused compare-reduce; nothing materialized
+    #    at (B, nc, chunk, n_symbols)).
     alpha = jnp.arange(n_symbols, dtype=jnp.int32)
+    onehot = (vc[..., None] == alpha) & m[..., None]
+    H = jnp.sum(onehot, axis=2, dtype=jnp.int32)  # (B, nc, n_symbols)
 
-    def step(hist, xs):
-        # hist: (B, n_symbols) counts of contributing symbols seen so far.
-        v, b0 = xs  # v: (B, chunk) symbols, b0: scalar chunk base offset
-        pos = b0 + jnp.arange(chunk, dtype=jnp.int32)  # (chunk,)
-        m = (pos[None, :] < contrib_limit[:, None]).astype(jnp.int32)  # (B, chunk)
+    # 2. Cross-chunk carries: exclusive prefix over chunks, then exclusive
+    #    prefix over the alphabet for the dominance count.
+    cumH = jnp.cumsum(H, axis=1) - H  # counts in chunks before k
+    cumHA = jnp.cumsum(cumH, axis=2) - cumH  # #{earlier chunks, value < a}
+    c_carry = jnp.take_along_axis(cumHA, vc, axis=2)  # (B, nc, chunk)
+    d_carry = jnp.take_along_axis(cumH, vc, axis=2)
 
-        # Cross-chunk part from the carried histogram.
-        cum = jnp.cumsum(hist, axis=1) - hist  # exclusive cumsum: #{< i}
-        c_carry = jnp.take_along_axis(cum, v, axis=1)  # (B, chunk)
-        d_carry = jnp.take_along_axis(hist, v, axis=1)
+    # 3. In-chunk pairwise triangle (fused; compute O(B*Kp*chunk)).
+    tri = jnp.triu(jnp.ones((chunk, chunk), dtype=bool), k=1)  # [s, t]: s < t
+    vs = vc[:, :, :, None]  # source position s
+    vt = vc[:, :, None, :]  # target position t
+    w = m[:, :, :, None] & tri[None, None]
+    c_intra = jnp.sum(w & (vs < vt), axis=2, dtype=jnp.int32)
+    d_intra = jnp.sum(w & (vs == vt), axis=2, dtype=jnp.int32)
 
-        # In-chunk part: pairwise s < t comparisons, contributors masked.
-        lt = (v[:, :, None] < v[:, None, :]).astype(jnp.int32)  # [s, t]
-        eq = (v[:, :, None] == v[:, None, :]).astype(jnp.int32)
-        w = (m[:, :, None] * tri[None, :, :])  # s contributes & s < t
-        c_intra = jnp.einsum("bst,bst->bt", w, lt)
-        d_intra = jnp.einsum("bst,bst->bt", w, eq)
-
-        # Histogram update with this chunk's contributors.
-        onehot = (v[:, :, None] == alpha[None, None, :]).astype(jnp.int32)
-        hist = hist + jnp.einsum("bs,bsi->bi", m, onehot)
-
-        return hist, (c_carry + c_intra, d_carry + d_intra)
-
-    hist0 = jnp.zeros((B, n_symbols), dtype=jnp.int32)
-    _, (c, d) = jax.lax.scan(step, hist0, (sym_c, base))
-    # (n_chunks, B, chunk) -> (B, Kp)
-    c = c.transpose(1, 0, 2).reshape(B, Kp)
-    d = d.transpose(1, 0, 2).reshape(B, Kp)
+    c = (c_carry + c_intra).reshape(B, Kp)
+    d = (d_carry + d_intra).reshape(B, Kp)
     return c, d
 
 
@@ -95,7 +93,7 @@ def precompute_encode_model(
     lens: jax.Array,  # (B,) int32 valid symbol count per lane
     init_cum: jax.Array,  # (n_symbols + 1,) int32 initial cumulative row
     freq_max: int,
-    chunk: int = 128,
+    chunk: int = 64,
 ):
     """Per-position model values for the vectorized encoder.
 
@@ -121,7 +119,7 @@ def precompute_encode_model(
     Kp = ((K + chunk - 1) // chunk) * chunk
     if Kp != K:
         symbols = jnp.pad(symbols, ((0, 0), (0, Kp - K)))
-    c, d = _rank_scan(symbols, contrib_limit, n_symbols, chunk)
+    c, d = _ranks_parallel(symbols, contrib_limit, n_symbols, chunk)
     c, d = c[:, :K], d[:, :K]
 
     v = symbols[:, :K]

@@ -95,6 +95,44 @@ def test_many_lanes_ragged():
     _test_blocks(Parameters(8, 14, 16), blocks)
 
 
+@pytest.mark.parametrize(
+    "params",
+    [p for p in CONFIGS if p.fits_u32],
+    ids=lambda p: f"{p.symbol_bits}-{p.freq_bits}-{p.code_bits}",
+)
+def test_fast_encoder_matches_reference_shaped(params):
+    """The planned (scatter-free) encoder is bit-identical to encode_blocks."""
+    from redux_tpu.ops.coder import encode_blocks_fast
+
+    rng = np.random.default_rng(11)
+    book1 = corpus_file("calgary", "book1").read_bytes()
+    b, k = 24, 768
+    syms = np.zeros((b, k), dtype=np.int32)
+    lens = rng.integers(0, k + 1, b).astype(np.int32)
+    lens[0], lens[1], lens[2] = 0, 1, k
+    for i in range(b):
+        if i % 3 == 0:
+            row = np.frombuffer(book1[i * k : i * k + k], dtype=np.uint8)
+        elif i % 3 == 1:
+            row = rng.integers(0, 256, k, dtype=np.uint8)
+        else:
+            row = np.full(k, i % 256, dtype=np.uint8)
+        syms[i, : len(row)] = row
+    ic = uniform_init_cum(params).astype(np.int32)
+    pre = precompute_encode_model(
+        jnp.asarray(syms), jnp.asarray(lens), jnp.asarray(ic), params.freq_max
+    )
+    w = max_block_words(min(257 + k, params.freq_max), params.symbol_count, params, k)
+    w_ref, bl_ref = encode_blocks(*pre, jnp.asarray(lens), params, w)
+    w_new, bl_new, ovf = encode_blocks_fast(*pre, jnp.asarray(lens), params, w)
+    assert not np.asarray(ovf).any()
+    assert np.array_equal(np.asarray(bl_ref), np.asarray(bl_new))
+    w_ref, w_new = np.asarray(w_ref), np.asarray(w_new)
+    nw = (np.asarray(bl_new) + 3) // 4
+    for i in range(b):
+        assert np.array_equal(w_ref[i, : nw[i]], w_new[i, : nw[i]]), i
+
+
 def test_single_block_archive_equals_reference_stream():
     # A 1-block uniform-prior payload IS a reference stream (SURVEY §7.1).
     data = corpus_file("canterbury", "grammar.lsp").read_bytes()[:1500]
