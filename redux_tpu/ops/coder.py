@@ -264,7 +264,10 @@ def encode_blocks(lo, hi, tot, eof_lo, eof_hi, eof_tot, lens, params: Parameters
         ts,
         jnp.concatenate([lo.T, pad], axis=0),
         jnp.concatenate([hi.T, pad], axis=0),
-        jnp.concatenate([tot.T, pad], axis=0),
+        # tot pads with ones: at t == K lanes already done still compute
+        # (rng*fhi)//count, and a zero count would be an (untrapped but
+        # implementation-defined) integer division by zero in XLA.
+        jnp.concatenate([tot.T, pad + 1], axis=0),
     )
     carry, _ = jax.lax.scan(scan_step, init, xs)
     buf, bytelens = carry[7], carry[8]
@@ -506,6 +509,66 @@ def _append96(a0, a1, a2, accbits, lhi, llo):
     return a0 | p0, a1 | p1, a2 | p2
 
 
+def compact_flushed_words(ws0, ws1, nv, n_words):
+    """Gather-free monotone shift compaction of per-step flushed words.
+
+    Each scan step flushes 0..2 words (``nv`` in {0,1,2}); lane-wise, the
+    valid words (read in step order) are already in output-slot order, so
+    compaction is a monotone move-up: element at row ``p`` must land at
+    slot ``s`` with displacement ``delta = p - s`` NON-DECREASING along
+    rows.  Such a compaction is exactly log2(P) masked static shifts
+    (LSB-first binary decomposition of delta): at phase j every element
+    whose delta has bit j moves up by 2^j.  Collision-freedom: two valid
+    elements colliding at phase j would need floor(delta_a/2^{j+1}) >
+    floor(delta_b/2^{j+1}) with delta_a <= delta_b — impossible.  This
+    replaces the per-slot binary-search gathers (take_along_axis runs at
+    ~0.09 Gelem/s on TPU — it was >90% of encode time) with dense
+    shift/select passes at HBM speed.
+
+    Args:
+      ws0, ws1: ``(T, B)`` uint32 words flushed per step (first, second).
+      nv: ``(T, B)`` int8 number of valid words per step (0..2).
+      n_words: output rows to keep.
+
+    Returns:
+      ``(scan_word, nw)``: ``(n_words, B)`` compacted words (rows past a
+      lane's count are garbage — callers overwrite them with tail words)
+      and ``(B,)`` int32 per-lane word counts.
+    """
+    T, B = nv.shape
+    c = jnp.cumsum(nv.astype(jnp.int32), axis=0)  # (T, B) inclusive counts
+    nw = c[-1]  # scan-flushed words per lane
+    P = 2 * T
+
+    val = jnp.stack([ws0, ws1], axis=1).reshape(P, B)
+    v0 = nv >= 1
+    v1 = nv >= 2
+    base = c - nv.astype(jnp.int32)  # first slot of this step
+    pos = 2 * jnp.arange(T, dtype=jnp.int32)[:, None]
+    # Both row displacements coincide: (pos+1) - (base+1) == pos - base.
+    # delta reaches ~2K, so it must stay int32 (int16 overflows at the
+    # production K=65536 and silently corrupts the compaction).
+    disp = pos - base
+    delta = jnp.stack([disp, disp], axis=1).reshape(P, B)
+    valid = jnp.stack([v0, v1], axis=1).reshape(P, B)
+    delta = jnp.where(valid, delta, 0)
+
+    def shift_up(a, n):
+        # a[r] <- a[r+n], zero-fill at the tail (slice + pad; no wraparound).
+        pad = jnp.zeros((n,) + a.shape[1:], a.dtype)
+        return jnp.concatenate([a[n:], pad], axis=0)
+
+    for j in range(max(1, math.ceil(math.log2(P)))):
+        sh = 1 << j
+        move = valid & (((delta >> j) & 1) == 1)
+        m_in = shift_up(move, sh)
+        val = jnp.where(m_in, shift_up(val, sh), val)
+        delta = jnp.where(m_in, shift_up(delta, sh), delta)
+        valid = m_in | (valid & ~move)
+
+    return val[:n_words], nw
+
+
 @functools.partial(jax.jit, static_argnames=("params", "n_words"))
 def encode_blocks_fast(
     lo, hi, tot, eof_lo, eof_hi, eof_tot, lens, params: Parameters, n_words: int
@@ -616,7 +679,9 @@ def encode_blocks_fast(
         ts,
         jnp.concatenate([lo.T, pad], axis=0),
         jnp.concatenate([hi.T, pad], axis=0),
-        jnp.concatenate([tot.T, pad], axis=0),
+        # Ones pad: avoid implementation-defined div-by-zero at t == K
+        # for lanes already done (see encode_blocks).
+        jnp.concatenate([tot.T, pad + 1], axis=0),
     )
     carry, (ws0, ws1, nv) = jax.lax.scan(scan_step, init, xs)
     low, _, pending, extra, a0, a1, a2, accbits, _, ovf = carry
@@ -638,56 +703,12 @@ def encode_blocks_fast(
     t2 = jnp.where(drain, t2, a2)
     tail_bits = accbits + m2
 
-    # Word compaction — gather-free monotone shift compaction.
-    #
-    # Each step flushes 0..2 words; lane-wise, the valid words (read in
-    # step order) are already in output-slot order, so compaction is a
-    # monotone move-up: element at row ``p`` must land at slot ``s`` with
-    # displacement ``delta = p - s`` NON-DECREASING along rows.  Such a
-    # compaction is exactly log2(P) masked static shifts (LSB-first binary
-    # decomposition of delta): at phase j every element whose delta has
-    # bit j moves up by 2^j.  Collision-freedom: two valid elements
-    # colliding at phase j would need floor(delta_a/2^{j+1}) >
-    # floor(delta_b/2^{j+1}) with delta_a <= delta_b — impossible.  This
-    # replaces the per-slot binary-search gathers (take_along_axis runs at
-    # ~0.09 Gelem/s on TPU — it was >90% of encode time) with dense
-    # shift/select passes at HBM speed.
-    T = K + 1
-    c = jnp.cumsum(nv.astype(jnp.int32), axis=0)  # (T, B) inclusive counts
-    nw = c[-1]  # scan-flushed words per lane
-    W = n_words
-    P = 2 * T
-
-    val = jnp.stack([ws0, ws1], axis=1).reshape(P, B)
-    v0 = nv >= 1
-    v1 = nv >= 2
-    base = c - nv.astype(jnp.int32)  # first slot of this step
-    pos = 2 * jnp.arange(T, dtype=jnp.int32)[:, None]
-    d0 = pos - base
-    d1 = pos - base  # (pos+1) - (base+1)
-    delta = jnp.stack([d0, d1], axis=1).reshape(P, B).astype(jnp.int16)
-    valid = jnp.stack([v0, v1], axis=1).reshape(P, B)
-    delta = jnp.where(valid, delta, 0)
-
-    def shift_up(a, n):
-        # a[r] <- a[r+n], zero-fill at the tail (slice + pad; no wraparound).
-        pad = jnp.zeros((n,) + a.shape[1:], a.dtype)
-        return jnp.concatenate([a[n:], pad], axis=0)
-
-    for j in range(max(1, math.ceil(math.log2(P)))):
-        sh = 1 << j
-        move = valid & (((delta >> j) & 1) == 1)
-        m_in = shift_up(move, sh)
-        val = jnp.where(m_in, shift_up(val, sh), val)
-        delta = jnp.where(m_in, shift_up(delta, sh), delta)
-        valid = m_in | (valid & ~move)
-
-    scan_word = val[:W]  # (W, B); rows >= nw are garbage, replaced below
+    scan_word, nw = compact_flushed_words(ws0, ws1, nv, n_words)
 
     # Tail words (<=3) follow the scan-flushed words; bits past the drain
     # are zero by construction, which is exactly flush_bits' zero padding
     # (bitio/mod.rs:183-198).
-    wi = jnp.arange(W, dtype=jnp.int32)[:, None]
+    wi = jnp.arange(n_words, dtype=jnp.int32)[:, None]
     dt = wi - nw[None, :]
     word = jnp.where(
         dt < 0,
