@@ -10,8 +10,8 @@ but running the TPU-native block-parallel data path:
 3. precompute every block's per-symbol model values in parallel
    (:mod:`redux_tpu.ops.ranks`);
 4. run the vectorized interval coder over all blocks at once
-   (:mod:`redux_tpu.ops.coder`);
-5. splice per-block streams into an RXT1 archive
+   (:mod:`redux_tpu.ops.coder`, Pallas kernels on TPU);
+5. splice per-block streams into an RXT v2 archive
    (:mod:`redux_tpu.container`).
 
 Reference-format single streams (no container) are handled by
@@ -28,15 +28,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import container, oracle
-from .container import DEFAULT_BLOCK_SIZE, DEFAULT_PRIOR_BUDGET
+from .container import (
+    DEFAULT_BLOCK_SIZE,
+    DEFAULT_DELTA,
+    DEFAULT_PRIOR_BUDGET,
+)
 from .errors import InvalidInputError
 from .models.dense import prior_init_cum, quantize_prior, uniform_init_cum
-from .ops.bitpack import streams_to_words, words_to_streams
 from .ops.coder import (
     bytes_to_words_device,
     decode_blocks,
-    encode_blocks,
-    encode_blocks_fast,
+    encode_blocks_v2,
     max_block_words,
     words_to_bytes_device,
 )
@@ -57,10 +59,10 @@ def _pad_lanes(n: int) -> int:
     return ((n + 255) // 256) * 256
 
 
-def _static_words(params: Parameters, k: int) -> int:
-    # Static (shape-stable) per-block buffer bound: worst-case initial total
-    # is symbol_count + prior budget.
-    max_count = min(params.symbol_count + DEFAULT_PRIOR_BUDGET + k, params.freq_max)
+def _static_words(params: Parameters, k: int, delta: int = DEFAULT_DELTA) -> int:
+    # Static (shape-stable) per-block buffer bound: worst-case total is
+    # the initial total plus all updates, capped at freq_max.
+    max_count = min(params.symbol_count + DEFAULT_PRIOR_BUDGET + delta * k, params.freq_max)
     return max_block_words(max_count, params.symbol_count, params, k)
 
 
@@ -89,20 +91,31 @@ def _init_cum(params: Parameters, prior_extra: Optional[np.ndarray]) -> np.ndarr
     return prior_init_cum(full, params).astype(np.int32)
 
 
+def _check_config(params: Parameters, block_size: int, delta: int, init_total: int):
+    """Reject configs whose adaptation would freeze from the start."""
+    if init_total >= params.freq_max:
+        raise InvalidInputError()
+    if not (params.fits_u32 or params.fits_wide32 or params.code_bits + params.freq_bits <= 62):
+        raise InvalidInputError()
+
+
 def encode(
     data: bytes,
     params: Optional[Parameters] = None,
     block_size: int = DEFAULT_BLOCK_SIZE,
+    delta: int = DEFAULT_DELTA,
     use_prior: Optional[bool] = None,
     prior_budget: int = DEFAULT_PRIOR_BUDGET,
 ) -> bytes:
-    """Compress ``data`` into an RXT1 block-parallel archive.
+    """Compress ``data`` into an RXT v2 block-parallel archive.
 
-    The default configuration is :meth:`Parameters.tpu32` — uint32-native
-    interval arithmetic and an int16 model row on device.  The archive
-    header records the parameters, so any valid config round-trips.
+    The default configuration is :meth:`Parameters.tpu_wide` with 32 KiB
+    blocks, adaptation increment 16 and a 128k-count warm-start prior —
+    the config the ratio studies show beats the reference's compressed
+    size on every corpus file > 256 KiB.  The archive header records all
+    of it, so any valid config round-trips.
     """
-    params = params or Parameters.tpu32()
+    params = params or Parameters.tpu_wide()
     if params.symbol_bits != 8:
         raise InvalidInputError()  # byte-oriented container
     if use_prior is None:
@@ -110,70 +123,73 @@ def encode(
     prior_extra = None
     if use_prior and len(data) > 0:
         hist = np.bincount(np.frombuffer(data, dtype=np.uint8), minlength=256)
-        budget = min(prior_budget, params.freq_max // 4)
+        budget = min(prior_budget, params.freq_max // 2)
         prior_extra = quantize_prior(hist, params, budget)[:256]
         if prior_extra.max(initial=0) == 0:
             prior_extra = None
     ic = _init_cum(params, prior_extra)
+    _check_config(params, block_size, delta, int(ic[-1]))
+    crc = container.compute_crc(data)
 
     if len(data) == 0:
-        return container.build_archive(params, block_size, 0, [], prior_extra)
+        return container.build_archive(params, block_size, 0, [], prior_extra, delta, crc)
 
     syms, lens, n_blocks = _split_blocks(data, block_size)
     k = syms.shape[1]
-    lo, hi, tot, el, eh, et = precompute_encode_model(
-        jnp.asarray(syms), jnp.asarray(lens), jnp.asarray(ic), params.freq_max
+    lo, hi, tot, _el, _eh, _et = precompute_encode_model(
+        jnp.asarray(syms), jnp.asarray(lens), jnp.asarray(ic), params.freq_max,
+        delta=delta,
     )
-    n_words = _static_words(params, k)
+    n_words = _static_words(params, k, delta)
     lens_j = jnp.asarray(lens)
-    if params.fits_u32:
-        words, byte_lens, ovf = encode_blocks_fast(
-            lo, hi, tot, el, eh, et, lens_j, params, n_words
-        )
-        ovf = np.asarray(ovf)
-        if ovf.any():
-            # Pathological E3 pending runs (> 64 bits, probability ~2^-47
-            # per symbol): re-encode the flagged lanes with the
-            # reference-shaped encoder — identical stream format.
-            sel = np.nonzero(ovf)[0]
-            sub = tuple(jnp.asarray(np.asarray(x)[sel]) for x in (lo, hi, tot, el, eh, et))
-            w_fb, bl_fb = encode_blocks(*sub, lens_j[sel], params, n_words)
-            words = jnp.asarray(np.asarray(words)).at[sel].set(w_fb)
-            byte_lens = jnp.asarray(np.asarray(byte_lens)).at[sel].set(bl_fb)
-    else:
-        words, byte_lens = encode_blocks(
-            lo, hi, tot, el, eh, et, lens_j, params, n_words
-        )
+    words, byte_lens, ovf = encode_blocks_v2(lo, hi, tot, lens_j, params, n_words)
     byte_lens = np.asarray(byte_lens)
+    ovf = np.asarray(ovf)
     if int(byte_lens[:n_blocks].max(initial=0)) > 4 * n_words:
         raise InvalidInputError()  # buffer bound violated — never silent
     # Trim to the words actually used and fetch as uint8 (fast transfer).
     wcap = _pad_lanes(max(1, -(-int(byte_lens[:n_blocks].max(initial=1)) // 4)))
     wcap = min(wcap, n_words)
     byts = np.asarray(words_to_bytes_device(words[:, :wcap]))
-    streams = [
-        byts[i, : byte_lens[i]].tobytes() for i in range(n_blocks)
-    ]
-    return container.build_archive(params, block_size, len(data), streams, prior_extra)
+    streams = [byts[i, : byte_lens[i]].tobytes() for i in range(n_blocks)]
+    if ovf[:n_blocks].any():
+        # Pathological E3 pending runs (> 64 bits, probability ~2^-47 per
+        # symbol): re-encode the flagged blocks with the sequential oracle
+        # — bit-identical v2 payload format, negligible volume.
+        for i in np.nonzero(ovf[:n_blocks])[0]:
+            blk = data[i * block_size : (i + 1) * block_size]
+            streams[i] = oracle.compress_block(blk, params, ic.astype(np.int64), delta)
+    return container.build_archive(
+        params, block_size, len(data), streams, prior_extra, delta, crc
+    )
 
 
 def decode(archive: bytes) -> bytes:
-    """Decompress an RXT1 archive produced by :func:`encode`."""
+    """Decompress an RXT archive produced by :func:`encode`.
+
+    Verifies the stored crc32 of the original data and raises
+    :class:`InvalidInputError` on any corruption instead of returning
+    garbage (the truncation analog of the reference's Error::Eof,
+    bitio/mod.rs:106-108).
+    """
     header, streams = container.parse_archive(archive)
     params = header.params
     if header.orig_len == 0:
+        container.verify_crc(header, b"")
         return b""
     prior = header.prior_extra
     ic = _init_cum(params, prior)
     n_blocks = header.n_blocks
     block_lens = np.asarray(header.block_lens, dtype=np.int32)
     k = header.block_size
-    n_words = _static_words(params, k)
+    n_words = _static_words(params, k, header.delta)
     b_pad = _pad_lanes(n_blocks)
     # Ship compressed bytes to the device as uint8 (fast transfer path),
-    # sized to the words actually needed; pack to u32 on-device.
-    wcap = _pad_lanes(max(2, -(-max(header.block_byte_lens) // 4)))
-    wcap = min(wcap, n_words)
+    # sized to the words actually needed; pack to u32 on-device.  Two
+    # extra zero words guarantee the decoder's read-ahead past each
+    # stream's terminator sees zero bits (the v2 termination contract).
+    wcap = _pad_lanes(max(4, -(-max(header.block_byte_lens) // 4) + 2))
+    wcap = min(wcap, n_words + 2)
     byts = np.zeros((b_pad, wcap * 4), dtype=np.uint8)
     for i, s in enumerate(streams):
         byts[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
@@ -181,11 +197,16 @@ def decode(archive: bytes) -> bytes:
     lens_pad[:n_blocks] = block_lens
     words = bytes_to_words_device(jnp.asarray(byts))
     syms = np.asarray(
-        decode_blocks(words, jnp.asarray(lens_pad), jnp.asarray(ic), params, k)
+        decode_blocks(
+            words, jnp.asarray(lens_pad), jnp.asarray(ic), params, k,
+            delta=header.delta,
+        )
     )
     # Blocks are contiguous and full-sized except the last, so the flattened
     # symbol matrix's first orig_len entries are exactly the original bytes.
-    return syms[:n_blocks].astype(np.uint8).reshape(-1)[: header.orig_len].tobytes()
+    out = syms[:n_blocks].astype(np.uint8).reshape(-1)[: header.orig_len].tobytes()
+    container.verify_crc(header, out)
+    return out
 
 
 def encode_auto(
@@ -193,35 +214,35 @@ def encode_auto(
     params: Optional[Parameters] = None,
     block_size: int = DEFAULT_BLOCK_SIZE,
 ) -> bytes:
-    """Compress picking the smallest of three self-decodable candidates.
+    """Compress picking the smallest of the self-decodable candidates.
 
-    1. RXT1 with the warm-start prior (wins on large/skewed inputs);
-    2. RXT1 with uniform init (wins when the prior table doesn't pay);
-    3. a bare reference-format stream (wins on small inputs where any
-       container overhead exceeds the block-parallel gain — byte-identical
-       to what the reference CLI would emit, main.rs:108).
+    1. the RXT v2 archive with the warm-start prior (wins beyond ~256 KiB);
+    2. RXT v2 with uniform init (wins when the prior table doesn't pay);
+    3. for small inputs, a bare reference-format stream (byte-identical to
+       what the reference CLI would emit, main.rs:108) — any container
+       overhead exceeds the block-parallel gain below a few hundred KiB.
 
-    All three are recognized by :func:`decode_auto`, so the choice is
+    All candidates are recognized by :func:`decode_auto`, so the choice is
     invisible to the decoder.  Guarantees output never larger than the
-    reference's for the same parameters (BASELINE.md size target).
+    reference's for the same inputs (BASELINE.md size target); the RXT
+    candidate wins on its own for large inputs.
     """
-    params = params or Parameters.tpu32()
     candidates = [encode(data, params=params, block_size=block_size, use_prior=True)]
     if len(data) >= 4096:  # without a prior the two rxt variants coincide
         candidates.append(
             encode(data, params=params, block_size=block_size, use_prior=False)
         )
-    if len(data) <= (1 << 20):  # serial encode is cheap for small inputs
+    if len(data) <= (1 << 19):  # serial encode only pays below ~512 KiB
         # Bare streams carry no parameter header, so this candidate always
         # uses the reference CLI config (main.rs:108) — byte-identical to
         # the reference's own output, which also anchors the size
-        # guarantee vs. the reference.
+        # guarantee vs. the reference on small files.
         ref_params = Parameters.default()
         try:
             from . import native
 
             candidates.append(native.compress_bytes(data, ref_params))
-        except Exception:
+        except (ImportError, OSError, RuntimeError):
             from .models.fenwick import AdaptiveFenwickModel
 
             if len(data) <= (1 << 16):
@@ -232,10 +253,10 @@ def encode_auto(
 
 
 def decode_auto(data: bytes, params: Optional[Parameters] = None) -> bytes:
-    """Decode either an RXT1 archive or a bare reference-format stream.
+    """Decode either an RXT archive or a bare reference-format stream.
 
     Reference streams carry no magic (lib.rs:102-120), so anything that is
-    not an RXT1 archive is decoded sequentially with the reference-format
+    not an RXT archive is decoded sequentially with the reference-format
     codec using ``params`` (default: the reference CLI config, main.rs:108).
     """
     if container.is_rxt_archive(data):
@@ -244,7 +265,7 @@ def decode_auto(data: bytes, params: Optional[Parameters] = None) -> bytes:
         from . import native
 
         return native.decompress_bytes(data, params)
-    except (ImportError, RuntimeError):  # pragma: no cover - build issues only
+    except (ImportError, OSError, RuntimeError):  # pragma: no cover - build issues only
         # (codec errors are ReduxError, not RuntimeError — they propagate)
         model = None
         if params is not None:

@@ -55,8 +55,12 @@ def quantize_prior(hist: np.ndarray, params: Parameters, budget: int) -> np.ndar
 
     Returns ``extra`` (shape ``(symbol_count,)``, int64, ``extra >= 0``) such
     that the initial frequency of symbol ``i`` is ``1 + extra[i]`` and the
-    initial total ``symbol_count + sum(extra)`` stays ``<= budget``.  The EOF
-    symbol always keeps frequency exactly 1 (it occurs once per block).
+    initial total ``symbol_count + sum(extra)`` is exactly ``budget`` (when
+    the histogram is nonempty).  Largest-remainder apportionment: floor the
+    ideal shares, then hand the leftover counts to the largest fractional
+    remainders — deterministic and budget-exact (floor-only scaling wasted
+    up to 256 counts of prior mass).  The EOF symbol always keeps frequency
+    exactly 1 (it occurs once per block).
 
     This is a redux_tpu extension (no reference counterpart): blocks reset
     their model, so seeding each block with the archive-global distribution
@@ -71,9 +75,16 @@ def quantize_prior(hist: np.ndarray, params: Parameters, budget: int) -> np.ndar
     head = max(0, budget - n)
     if head <= 0:
         return extra
-    scaled = (hist.astype(np.float64) * head / total).astype(np.int64)
-    # Keep within budget deterministically (floor scaling can only undershoot).
-    extra[: hist.shape[0]] = scaled
+    ideal = hist.astype(np.float64) * head / total
+    fl = np.floor(ideal).astype(np.int64)
+    short = head - int(fl.sum())
+    if short > 0:
+        order = np.argsort(-(ideal - fl), kind="stable")[:short]
+        fl[order] += 1
+    # The archive stores extras as u16 — clamp heavily skewed histograms
+    # (the foregone mass just lowers the effective budget; the decoder
+    # reconstructs the identical init row from the stored table).
+    extra[: hist.shape[0]] = np.minimum(fl, 0xFFFF)
     return extra
 
 
@@ -94,7 +105,12 @@ class DenseModel(Model):
     ``init_cum`` it is the per-block model of the redux_tpu container format.
     """
 
-    def __init__(self, params: Parameters, init_cum: np.ndarray | None = None):
+    def __init__(
+        self,
+        params: Parameters,
+        init_cum: np.ndarray | None = None,
+        delta: int = 1,
+    ):
         self.params = params
         if init_cum is None:
             init_cum = uniform_init_cum(params)
@@ -104,12 +120,18 @@ class DenseModel(Model):
             # Prior so heavy adaptation would be frozen from the start —
             # reject: priors must leave adaptation headroom.
             raise InvalidInputError()
+        if delta < 1:
+            raise InvalidInputError()
+        # Adaptation increment (redux_tpu extension; the reference always
+        # uses +1, adaptive_tree.rs:86-89).  delta > 1 re-adapts faster
+        # after each block's model reset.
+        self.delta = delta
         self.cum = init_cum.astype(np.int64).copy()
         self._iota = np.arange(params.symbol_count + 1, dtype=np.int64)
 
     def _update(self, symbol: int) -> None:
         if self.total_frequency() < self.params.freq_max:  # freeze (adaptive_linear.rs:34)
-            self.cum += self._iota > symbol  # masked suffix add
+            self.cum += self.delta * (self._iota > symbol)  # masked suffix add
 
     def total_frequency(self) -> int:
         return int(self.cum[self.params.symbol_count])

@@ -274,8 +274,8 @@ def encode_blocks(lo, hi, tot, eof_lo, eof_hi, eof_tot, lens, params: Parameters
     return buf, bytelens
 
 
-@functools.partial(jax.jit, static_argnames=("params", "k"))
-def decode_blocks(words, lens, init_cum, params: Parameters, k: int):
+@functools.partial(jax.jit, static_argnames=("params", "k", "delta"))
+def decode_blocks(words, lens, init_cum, params: Parameters, k: int, delta: int = 1):
     """Decode ``B`` blocks in parallel; each lane runs the reference decoder.
 
     Args:
@@ -372,7 +372,7 @@ def decode_blocks(words, lens, init_cum, params: Parameters, k: int):
         flo = jnp.max(jnp.where(b, cdf, 0), axis=1).astype(wdt)
         fhi = jnp.min(jnp.where(b, sentinel, cdf), axis=1).astype(wdt)
         upd = active & (cdf[:, S] < sentinel)
-        cdf = cdf + jnp.where(b | ~upd[:, None], 0, 1).astype(cdt)
+        cdf = cdf + jnp.where(b | ~upd[:, None], 0, delta).astype(cdt)
 
         # Narrow; z moves with low (z' = pending - low').
         dlo = (rng * flo) // count
@@ -716,6 +716,161 @@ def encode_blocks_fast(
         jnp.where(dt == 0, t0[None, :], jnp.where(dt == 1, t1[None, :], jnp.where(dt == 2, t2[None, :], 0))),
     )
     byte_lens = (nw * 32 + tail_bits + 7) // 8
+    return word.T, byte_lens.astype(jnp.int32), ovf
+
+
+# ---------------------------------------------------------------------------
+# v2 block-format encoder: no EOF symbol, minimal 2-bit terminator.
+#
+# The RXT2 container stores per-block symbol counts, so the per-block EOF
+# symbol + code_bits drain of the reference format (codec.rs:91-99) are
+# dead weight (~3-5 bytes/block).  Instead, after the last symbol's
+# renormalization the invariants  high - low + 1 > quarter  and
+# low < half <= high  guarantee tq = ceil(low/quarter) is in {0,1,2} and
+# the code value V = tq*quarter (2 bits, zero tail) lies in [low, high] —
+# so 2 emitted bits (+ any pending underflow bits) terminate the stream,
+# and the decoder's zero-padded reads reconstruct V exactly.
+# (Oracle: redux_tpu.oracle.compress_block / decompress_block.)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("params", "n_words"))
+def encode_blocks_v2(lo, hi, tot, lens, params: Parameters, n_words: int):
+    """Planned v2 encoder: returns ``(words, byte_lens, ovf)``.
+
+    Same scatter-free plan/compaction architecture as
+    :func:`encode_blocks_fast`, with the v2 terminator instead of the EOF
+    symbol, and interval arithmetic widened to int64 when the config
+    exceeds uint32 products (``params.fits_u32`` false) — the bit-plan
+    accumulator stays in uint32 triples either way.
+    """
+    B, K = lo.shape
+    wdt = coder_dtype(params)
+    cb = params.code_bits
+    cmax = jnp.asarray(params.code_max, wdt)
+    cmax_half = jnp.asarray(params.code_max >> 1, wdt)
+    half = jnp.asarray(params.code_half, wdt)
+    one = jnp.asarray(1, wdt)
+    W = _word_bits(wdt)
+
+    def to_u32(x):
+        return x.astype(_U32)
+
+    def scan_step(carry, xs):
+        t, lo_t, hi_t, tot_t = xs
+        (low, high, pending, a0, a1, a2, accbits, done, ovf) = carry
+        is_term = (t == lens) & ~done
+        active = (t < lens) & ~done
+
+        flo = lo_t.astype(wdt)
+        fhi = hi_t.astype(wdt)
+        count = jnp.maximum(tot_t, 1).astype(wdt)
+
+        # Interval narrowing (codec.rs:58-60).
+        rng = high - low + one
+        nhigh = low + (rng * fhi) // count - one
+        nlow = low + (rng * flo) // count
+        low = jnp.where(active, nlow, low)
+        high = jnp.where(active, nhigh, high)
+
+        # Closed-form renorm counts (see module docstring).
+        n1 = jnp.where(active, _clz(low ^ high, wdt) - (W - cb), 0)
+        n1w = n1.astype(wdt)
+        low1 = jnp.where(active, (low << n1w) & cmax, low)
+        high1 = jnp.where(active, ((high << n1w) | ((one << n1w) - one)) & cmax, high)
+        shift_top = W - cb + 1
+        a = _clz(~((low1 << shift_top).astype(wdt)), wdt)
+        b = _clz((high1 << shift_top).astype(wdt), wdt)
+        n3 = jnp.where(active, jnp.minimum(jnp.minimum(a, b), cb - 1), 0)
+        n3w = n3.astype(wdt)
+        low2 = jnp.where(active, (low1 << n3w) & cmax_half, low1)
+        high2 = jnp.where(
+            active, (((high1 << n3w) | ((one << n3w) - one)) & cmax_half) | half, high1
+        )
+
+        # Data-symbol piece: [b1][pending opposite][n1-1 prefix bits].
+        emit = active & (n1 > 0)
+        prefix = jnp.where(emit, low >> (jnp.asarray(cb, wdt) - n1w), jnp.asarray(0, wdt))
+        b1 = to_u32(prefix >> jnp.maximum(n1 - 1, 0).astype(wdt))
+        rest = to_u32(prefix & ((one << jnp.maximum(n1 - 1, 0).astype(wdt)) - one))
+        rest_len = jnp.maximum(n1 - 1, 0)
+
+        # Terminator piece: [b1][pending opposite][b2] with
+        # tq = ceil(low / quarter) in {0,1,2} (low < half).
+        q = jnp.asarray(params.code_one_fourth, wdt)
+        tq = to_u32((low + q - one) >> jnp.asarray(cb - 2, wdt))
+        b1 = jnp.where(is_term, tq >> 1, b1)
+        rest = jnp.where(is_term, tq & 1, rest)
+        rest_len = jnp.where(is_term, 1, rest_len)
+        emit = emit | is_term
+
+        m1 = jnp.where(emit, rest_len + 1 + pending, 0)
+        ovf = ovf | (m1 > 64)
+        m1 = jnp.minimum(m1, 64)
+        phi, plo = _piece64(b1, pending, rest, rest_len)
+        lhi, llo = _leftalign64(phi, plo, m1)
+        a0n, a1n, a2n = _append96(a0, a1, a2, accbits, lhi, llo)
+        a0 = jnp.where(emit, a0n, a0)
+        a1 = jnp.where(emit, a1n, a1)
+        a2 = jnp.where(emit, a2n, a2)
+        accbits = accbits + m1
+        pending = jnp.where(emit, 0, pending) + n3
+
+        # Flush up to two completed words (dense scan outputs, no scatter).
+        f1 = accbits >= 32
+        w0 = jnp.where(f1, a0, 0)
+        a0 = jnp.where(f1, a1, a0)
+        a1 = jnp.where(f1, a2, a1)
+        a2 = jnp.where(f1, _u(0), a2)
+        accbits = jnp.where(f1, accbits - 32, accbits)
+        f2 = accbits >= 32
+        w1 = jnp.where(f2, a0, 0)
+        a0 = jnp.where(f2, a1, a0)
+        a1 = jnp.where(f2, a2, a1)
+        a2 = jnp.where(f2, _u(0), a2)
+        accbits = jnp.where(f2, accbits - 32, accbits)
+        nv = f1.astype(jnp.int8) + f2.astype(jnp.int8)
+
+        low = low2
+        high = high2
+        done = done | is_term
+        carry = (low, high, pending, a0, a1, a2, accbits, done, ovf)
+        return carry, (w0, w1, nv)
+
+    init = (
+        jnp.full((B,), params.code_min, wdt),  # low  (codec.rs:30)
+        jnp.full((B,), params.code_max, wdt),  # high (codec.rs:31)
+        jnp.zeros((B,), jnp.int32),  # pending
+        jnp.zeros((B,), _U32),  # a0..a2: 96-bit left-aligned window
+        jnp.zeros((B,), _U32),
+        jnp.zeros((B,), _U32),
+        jnp.zeros((B,), jnp.int32),  # accbits
+        jnp.zeros((B,), bool),  # done
+        jnp.zeros((B,), bool),  # ovf
+    )
+    ts = jnp.arange(K + 1, dtype=jnp.int32)
+    pad = jnp.zeros((1, B), lo.dtype)
+    xs = (
+        ts,
+        jnp.concatenate([lo.T, pad], axis=0),
+        jnp.concatenate([hi.T, pad], axis=0),
+        jnp.concatenate([tot.T, pad + 1], axis=0),  # ones: no div-by-zero
+    )
+    carry, (ws0, ws1, nv) = jax.lax.scan(scan_step, init, xs)
+    _, _, _, t0, t1, t2, accbits, _, ovf = carry
+
+    scan_word, nw = compact_flushed_words(ws0, ws1, nv, n_words)
+
+    # Tail words (<= 3) follow the scan-flushed words; zero bits past the
+    # terminator are exactly the byte padding the decoder expects.
+    wi = jnp.arange(n_words, dtype=jnp.int32)[:, None]
+    dt = wi - nw[None, :]
+    word = jnp.where(
+        dt < 0,
+        scan_word,
+        jnp.where(dt == 0, t0[None, :], jnp.where(dt == 1, t1[None, :], jnp.where(dt == 2, t2[None, :], 0))),
+    )
+    byte_lens = (nw * 32 + accbits + 7) // 8
     return word.T, byte_lens.astype(jnp.int32), ovf
 
 

@@ -94,6 +94,7 @@ def precompute_encode_model(
     init_cum: jax.Array,  # (n_symbols + 1,) int32 initial cumulative row
     freq_max: int,
     chunk: int = 64,
+    delta: int = 1,
 ):
     """Per-position model values for the vectorized encoder.
 
@@ -105,14 +106,20 @@ def precompute_encode_model(
       position ``lens`` (closed form: every data symbol sorts below EOF,
       so EOF's rank contribution is just the update count).
 
-    Exactly reproduces ``model.total_frequency()`` + ``get_frequency``
-    sequences of the reference models (verified by differential tests).
+    With ``delta == 1`` this exactly reproduces ``model.total_frequency()``
+    + ``get_frequency`` sequences of the reference models (verified by
+    differential tests).  ``delta > 1`` is the redux_tpu generalized
+    adaptation increment: ``cum_t[i] = init[i] + delta * c_t(i)`` with the
+    freeze once ``init_total + delta*t >= freq_max`` (the reference's +1
+    freeze rule, adaptive_linear.rs:34, applied to the scaled total).
     """
     symbols = symbols.astype(jnp.int32)  # accepts uint8 (cheap transfer dtype)
     B, K = symbols.shape
     n_symbols = int(init_cum.shape[0]) - 1  # symbol_count (incl. EOF)
     init_total = init_cum[n_symbols].astype(jnp.int32)
-    t_freeze = jnp.int32(freq_max) - init_total  # updates stop here
+    # Updates stop at the first t with total >= freq_max:
+    # t_freeze = ceil((freq_max - init_total) / delta).
+    t_freeze = (jnp.int32(freq_max) - init_total + (delta - 1)) // jnp.int32(delta)
     contrib_limit = jnp.maximum(0, jnp.minimum(lens, t_freeze))
 
     chunk = min(chunk, K) if K > 0 else 1
@@ -124,26 +131,26 @@ def precompute_encode_model(
 
     v = symbols[:, :K]
     init_cum = init_cum.astype(jnp.int32)
-    lo = jnp.take(init_cum, v) + c
-    hi = jnp.take(init_cum, v + 1) + c + d
+    lo = jnp.take(init_cum, v) + delta * c
+    hi = jnp.take(init_cum, v + 1) + delta * (c + d)
     t_idx = jnp.arange(K, dtype=jnp.int32)[None, :]
-    tot = init_total + jnp.minimum(jnp.minimum(t_idx, lens[:, None]), t_freeze)
+    n_upd_t = jnp.minimum(jnp.minimum(t_idx, lens[:, None]), t_freeze)
+    tot = init_total + delta * n_upd_t
 
     n_upd = jnp.maximum(0, jnp.minimum(lens, t_freeze))  # updates before EOF
-    eof_lo = init_cum[n_symbols - 1] + n_upd
-    eof_hi = init_cum[n_symbols] + n_upd
-    eof_tot = init_cum[n_symbols] + n_upd
+    eof_lo = init_cum[n_symbols - 1] + delta * n_upd
+    eof_hi = init_cum[n_symbols] + delta * n_upd
+    eof_tot = init_cum[n_symbols] + delta * n_upd
     return lo, hi, tot, eof_lo, eof_hi, eof_tot
 
 
-def precompute_encode_model_np(symbols, lens, init_cum, freq_max):
+def precompute_encode_model_np(symbols, lens, init_cum, freq_max, delta=1):
     """Slow numpy oracle of :func:`precompute_encode_model` for testing."""
     symbols = np.asarray(symbols)
     lens = np.asarray(lens)
     init_cum = np.asarray(init_cum, dtype=np.int64)
     B, K = symbols.shape
     n_symbols = init_cum.shape[0] - 1
-    t_freeze = int(freq_max - init_cum[n_symbols])
     lo = np.zeros((B, K), dtype=np.int64)
     hi = np.zeros((B, K), dtype=np.int64)
     tot = np.zeros((B, K), dtype=np.int64)
@@ -154,11 +161,13 @@ def precompute_encode_model_np(symbols, lens, init_cum, freq_max):
         for t in range(K):
             v = int(symbols[b, t])
             lo[b, t], hi[b, t], tot[b, t] = cum[v], cum[v + 1], cum[n_symbols]
-            if t < min(L, t_freeze):
-                cum[v + 1 :] += 1
+            if t < L and cum[n_symbols] < freq_max:  # freeze rule
+                cum[v + 1 :] += delta
         # recompute cum at time L for the EOF triple
         cum = init_cum.copy()
-        for t in range(min(L, t_freeze)):
-            cum[int(symbols[b, t]) + 1 :] += 1
+        for t in range(L):
+            if cum[n_symbols] >= freq_max:
+                break
+            cum[int(symbols[b, t]) + 1 :] += delta
         eof[b] = (cum[n_symbols - 1], cum[n_symbols], cum[n_symbols])
     return lo, hi, tot, eof[:, 0], eof[:, 1], eof[:, 2]

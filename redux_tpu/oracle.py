@@ -176,6 +176,88 @@ class Codec:
         return bytes(out)
 
 
+# -- block-format (v2) sequential codec -------------------------------------
+#
+# The RXT2 per-block payload differs from a reference stream (codec.rs:91-99)
+# in two ways, both possible because the container stores per-block symbol
+# counts:
+#
+# * no EOF symbol and no code_bits drain — the decoder stops after the
+#   stored count;
+# * a minimal 2-bit terminator: after the last symbol's renormalization the
+#   interval satisfies high - low + 1 > quarter AND low < half <= high, so
+#   tq = ceil(low / quarter) is in {0, 1, 2} and the code value
+#   V = tq * quarter (2 emitted bits, zero tail) always lies in
+#   [low, high]; the decoder reads zeros past the stream end, making its
+#   effective code value exactly V.
+#
+# The adaptation increment ``delta`` generalizes the reference's +1
+# (adaptive_tree.rs:86-89).  These sequential implementations are the
+# differential-test oracles for the vectorized/Pallas v2 kernels.
+
+
+class _ZeroPadBitReader:
+    """BitReader returning zero bits past the end of the stream.
+
+    The v2 decoder legitimately reads past the payload (priming plus the
+    terminator's zero tail); the container guards real truncation with its
+    stored byte lengths and checksum instead.
+    """
+
+    def __init__(self, stream: BinaryIO):
+        self._r = BitReader(stream)
+
+    def read_bits(self, bits: int) -> int:
+        try:
+            return self._r.read_bits(bits)
+        except EofError:
+            return 0
+
+
+def compress_block(
+    data: bytes,
+    params: Parameters,
+    init_cum=None,
+    delta: int = 1,
+) -> bytes:
+    """Sequentially encode one v2 block payload (oracle for the TPU path)."""
+    from .models.dense import DenseModel
+
+    model = DenseModel(params, init_cum, delta)
+    codec = Codec(model)
+    out = io.BytesIO()
+    writer = BitWriter(out)
+    for b in data:
+        codec.compress_symbol(b, writer)
+    p = params
+    # Terminator: tq = ceil(low / quarter) in {0,1,2}; 2 bits, pending
+    # flushed after the first (put_bit semantics, codec.rs:39-46).
+    tq = (codec.low + p.code_one_fourth - 1) // p.code_one_fourth
+    codec._put_bit((tq >> 1) != 0, writer)
+    codec._put_bit((tq & 1) != 0, writer)
+    writer.flush_bits()
+    return out.getvalue()
+
+
+def decompress_block(
+    payload: bytes,
+    n_symbols: int,
+    params: Parameters,
+    init_cum=None,
+    delta: int = 1,
+) -> bytes:
+    """Sequentially decode one v2 block payload of ``n_symbols`` bytes."""
+    from .models.dense import DenseModel
+
+    model = DenseModel(params, init_cum, delta)
+    codec = Codec(model)
+    reader = _ZeroPadBitReader(io.BytesIO(payload))
+    out = bytearray()
+    for _ in range(n_symbols):
+        out.append(codec.decompress_symbol(reader))
+    return bytes(out)
+
+
 # -- top-level stream API (reference lib.rs:102-120) -----------------------
 
 

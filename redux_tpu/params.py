@@ -48,6 +48,15 @@ TPU32_SYMBOL_BITS = 8
 TPU32_FREQ_BITS = 15
 TPU32_CODE_BITS = 17
 
+# TPU wide production configuration: products up to 2**42 handled by the
+# dual-u32 split multiply + exact-f32 division (see ops/wide32.py) — still
+# no 64-bit integer emulation on TPU, but 32x the frequency resolution of
+# the pure-u32 config (big warm-start priors + large adaptation increments
+# without freezing).  Chosen by scripts/ratio_study*.py.
+TPUW_SYMBOL_BITS = 8
+TPUW_FREQ_BITS = 20
+TPUW_CODE_BITS = 22
+
 
 @dataclasses.dataclass(frozen=True)
 class Parameters:
@@ -97,7 +106,23 @@ class Parameters:
         """Reference CLI production config ``(8, 30, 32)`` (main.rs:108)."""
         return cls(DEFAULT_SYMBOL_BITS, DEFAULT_FREQ_BITS, DEFAULT_CODE_BITS)
 
+    @property
+    def fits_wide32(self) -> bool:
+        """True when the dual-u32 + exact-f32-division kernel path applies.
+
+        Requirements (see ops/wide32.py): products ``range * freq`` fit in
+        44 bits and every quotient fits 23 bits (f32 exactness margin for
+        the floor-division fixup), i.e. ``code_bits <= 23`` and
+        ``code_bits + freq_bits <= 44``.
+        """
+        return self.code_bits <= 23 and self.code_bits + self.freq_bits <= 44
+
     @classmethod
     def tpu32(cls) -> "Parameters":
         """TPU 32-bit fast-path config ``(8, 15, 17)``."""
         return cls(TPU32_SYMBOL_BITS, TPU32_FREQ_BITS, TPU32_CODE_BITS)
+
+    @classmethod
+    def tpu_wide(cls) -> "Parameters":
+        """TPU wide production config ``(8, 20, 22)`` (dual-u32 path)."""
+        return cls(TPUW_SYMBOL_BITS, TPUW_FREQ_BITS, TPUW_CODE_BITS)
