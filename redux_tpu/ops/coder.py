@@ -453,7 +453,9 @@ def decode_blocks(words, lens, init_cum, params: Parameters, k: int, delta: int 
 # ---------------------------------------------------------------------------
 
 _U32 = jnp.uint32
-_MASK5 = jnp.uint32(31)
+# Plain Python int (not a jnp scalar): these helpers are reused inside
+# Pallas kernels, where captured device-array constants are rejected.
+_MASK5 = 31
 
 
 def _u(x):

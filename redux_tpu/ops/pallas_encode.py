@@ -1,0 +1,334 @@
+"""Pallas TPU encode kernel: the v2 symbol loop + bit packing on-chip.
+
+The XLA planned encoder (:func:`redux_tpu.ops.coder.encode_blocks_v2`)
+runs one `lax.scan` step per symbol (kernel-launch overhead ×K) and a
+17-pass HBM compaction of the sparse flushed words — together the
+round-1 encode bottleneck (0.015 GB/s).  This kernel runs everything
+inside one launch per lane-tile with all state in VMEM:
+
+* **Inputs**: per-position model triples ``lo/hi/tot`` from the parallel
+  rank precompute (:mod:`redux_tpu.ops.ranks`), streamed through the
+  grid in 32-step epoch blocks (auto double-buffered HBM→VMEM).
+* **Interval math**: dual-u32 + f32 exact arithmetic
+  (:mod:`redux_tpu.ops.wide32`) — handles the (8,20,22) production
+  config without 64-bit emulation.  Closed-form E1/E2/E3 renorm and the
+  ≤64-bit per-step emission piece are shared with the XLA encoder
+  (:func:`redux_tpu.ops.coder._piece64` et al.).
+* **Bit packing** (the part XLA could not do without HBM round-trips):
+  each step stages its ≤2 flushed words densely (fixed rows — no
+  scatter).  Once per 32-step epoch the stage is compacted in VMEM by
+  the monotone-shift passes (log2(64) = 6 phases), rotated to the
+  per-lane write offset by a 7-phase conditional roll (TPU v5e has no
+  per-lane scatter/gather — probed), merged into a 128-row ring, and
+  the ring's completed 32-word slabs are dumped to the output block by
+  a batched loop over the dynamic span of per-lane slab indices.
+
+Output streams are bit-identical to ``encode_blocks_v2`` / the
+sequential oracle (differential tests: tests/test_pallas_encode.py).
+
+Traced under ``jax.enable_x64(False)`` (Mosaic has no 64-bit types).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import Parameters
+from . import wide32
+from .coder import _append96, _leftalign64, _piece64
+
+LANES = 128
+EPOCH = 32  # symbols per grid step
+RING = 128  # ring rows (4 output slabs); epoch flushes < 96 words
+SLAB = 32
+
+i32 = jnp.int32
+u32 = jnp.uint32
+
+
+def _encode_kernel(params: Parameters, k: int, n_words: int, n_epochs: int):
+    cb = params.code_bits
+    cmax = params.code_max
+    half = params.code_half
+    quarter = params.code_one_fourth
+
+    def kernel(lens_ref, lo_ref, hi_ref, tot_ref, out_ref, blen_ref, ovf_ref,
+               st_s, ring_s, nw_s, nd_s, acc_s, iv_s, pmin_s, pmax_s):
+        e = pl.program_id(1)
+        lens = lens_ref[0, :][None, :]
+
+        @pl.when(e == 0)
+        def _init():
+            # iv rows: 0 low, 1 high, 2 pending, 3 ovf flag.
+            iv_s[0, :] = jnp.zeros((LANES,), u32) + u32(params.code_min)
+            iv_s[1, :] = jnp.zeros((LANES,), u32) + u32(cmax)
+            iv_s[2, :] = jnp.zeros((LANES,), u32)
+            iv_s[3, :] = jnp.zeros((LANES,), u32)
+            acc_s[0, :] = jnp.zeros((LANES,), u32)  # a0 (96-bit left-aligned)
+            acc_s[1, :] = jnp.zeros((LANES,), u32)  # a1
+            acc_s[2, :] = jnp.zeros((LANES,), u32)  # a2
+            acc_s[3, :] = jnp.zeros((LANES,), u32)  # accbits
+            nw_s[0, :] = jnp.zeros((LANES,), i32)  # words flushed (ring)
+            nd_s[0, :] = jnp.zeros((LANES,), i32)  # slabs dumped
+            ring_s[:, :] = jnp.zeros((RING, LANES), u32)
+
+        def step(ii, carry):
+            low, high, pending, a0, a1, a2, accbits, ovf, cnt = carry
+            t = e * EPOCH + ii
+            active = t < lens
+            is_term = t == lens
+
+            flo = lo_ref[pl.ds(ii, 1), :].astype(u32)
+            fhi = hi_ref[pl.ds(ii, 1), :].astype(u32)
+            count = jnp.maximum(tot_ref[pl.ds(ii, 1), :], i32(1)).astype(u32)
+
+            # Interval narrowing (codec.rs:58-60) — exact wide arithmetic.
+            rngv = high - low + u32(1)
+            nlow = low + wide32.muldiv(rngv, flo, count)
+            nhigh = low + wide32.muldiv(rngv, fhi, count) - u32(1)
+            low = jnp.where(active, nlow, low)
+            high = jnp.where(active, nhigh, high)
+
+            # Closed-form renorm counts.
+            n1 = jnp.where(active, jax.lax.clz(low ^ high).astype(i32) - i32(32 - cb), i32(0))
+            n1w = n1.astype(u32)
+            low1 = jnp.where(active, (low << n1w) & u32(cmax), low)
+            high1 = jnp.where(
+                active, ((high << n1w) | ((u32(1) << n1w) - u32(1))) & u32(cmax), high
+            )
+            aa = jax.lax.clz(~(low1 << u32(32 - cb + 1))).astype(i32)
+            bbq = jax.lax.clz(high1 << u32(32 - cb + 1)).astype(i32)
+            n3 = jnp.where(active, jnp.minimum(jnp.minimum(aa, bbq), i32(cb - 1)), i32(0))
+            n3w = n3.astype(u32)
+            low2 = jnp.where(active, (low1 << n3w) & u32(cmax >> 1), low1)
+            high2 = jnp.where(
+                active,
+                (((high1 << n3w) | ((u32(1) << n3w) - u32(1))) & u32(cmax >> 1)) | u32(half),
+                high1,
+            )
+
+            # Emission piece: [b1][pending opposite][rest] (codec.rs:39-46),
+            # or the 2-bit v2 terminator at t == lens.
+            emit = active & (n1 > 0)
+            prefix = jnp.where(emit, low >> (u32(cb) - n1w), u32(0))
+            b1 = prefix >> jnp.maximum(n1 - 1, 0).astype(u32)
+            rest = prefix & ((u32(1) << jnp.maximum(n1 - 1, 0).astype(u32)) - u32(1))
+            rest_len = jnp.maximum(n1 - 1, 0)
+            tq = (low + u32(quarter) - u32(1)) >> u32(cb - 2)
+            b1 = jnp.where(is_term, tq >> u32(1), b1)
+            rest = jnp.where(is_term, tq & u32(1), rest)
+            rest_len = jnp.where(is_term, i32(1), rest_len)
+            emit = emit | is_term
+
+            pend_i = pending.astype(i32)
+            m1 = jnp.where(emit, rest_len + 1 + pend_i, 0)
+            ovf = ovf | (m1 > 64).astype(u32)
+            m1 = jnp.minimum(m1, 64)
+            phi, plo = _piece64(b1, pend_i, rest, rest_len)
+            lhi, llo = _leftalign64(phi, plo, m1)
+            a0n, a1n, a2n = _append96(a0, a1, a2, accbits.astype(i32), lhi, llo)
+            a0 = jnp.where(emit, a0n, a0)
+            a1 = jnp.where(emit, a1n, a1)
+            a2 = jnp.where(emit, a2n, a2)
+            accbits = accbits + m1.astype(u32)
+            pending = (jnp.where(emit, 0, pend_i) + n3).astype(u32)
+
+            # Flush up to two completed words into the dense stage.
+            f1 = accbits >= u32(32)
+            w0 = jnp.where(f1, a0, u32(0))
+            a0 = jnp.where(f1, a1, a0)
+            a1 = jnp.where(f1, a2, a1)
+            a2 = jnp.where(f1, u32(0), a2)
+            accbits = jnp.where(f1, accbits - u32(32), accbits)
+            f2 = accbits >= u32(32)
+            w1 = jnp.where(f2, a0, u32(0))
+            a0 = jnp.where(f2, a1, a0)
+            a1 = jnp.where(f2, a2, a1)
+            a2 = jnp.where(f2, u32(0), a2)
+            accbits = jnp.where(f2, accbits - u32(32), accbits)
+            # Stage this step's flushed words densely at fixed rows, with
+            # their compaction displacement and validity alongside (the
+            # step knows its in-epoch word count `cnt`, so no cross-step
+            # prefix sums or row upsampling are needed in the epilogue).
+            # Both rows share one displacement: (2*ii) - cnt == (2*ii+1)
+            # - (cnt+1), non-negative and non-decreasing over rows.
+            disp = (i32(2) * ii - cnt).astype(u32)
+            st_s[pl.ds(2 * ii, 1), :] = w0
+            st_s[pl.ds(2 * ii + 1, 1), :] = w1
+            st_s[pl.ds(64 + 2 * ii, 1), :] = jnp.where(f1, disp, u32(0))
+            st_s[pl.ds(64 + 2 * ii + 1, 1), :] = jnp.where(f2, disp, u32(0))
+            st_s[pl.ds(128 + 2 * ii, 1), :] = f1.astype(u32)
+            st_s[pl.ds(128 + 2 * ii + 1, 1), :] = f2.astype(u32)
+            cnt = cnt + f1.astype(i32) + f2.astype(i32)
+
+            return low2, high2, pending, a0, a1, a2, accbits, ovf, cnt
+
+        carry = (
+            iv_s[0, :][None, :], iv_s[1, :][None, :], iv_s[2, :][None, :],
+            acc_s[0, :][None, :], acc_s[1, :][None, :], acc_s[2, :][None, :],
+            acc_s[3, :][None, :], iv_s[3, :][None, :],
+            jnp.zeros((1, LANES), i32),  # cnt: words staged this epoch
+        )
+        carry = jax.lax.fori_loop(0, EPOCH, step, carry)
+        low, high, pending, a0, a1, a2, accbits, ovf, cnt = carry
+        iv_s[0, :] = low[0, :]
+        iv_s[1, :] = high[0, :]
+        iv_s[2, :] = pending[0, :]
+        iv_s[3, :] = ovf[0, :]
+        acc_s[0, :] = a0[0, :]
+        acc_s[1, :] = a1[0, :]
+        acc_s[2, :] = a2[0, :]
+        acc_s[3, :] = accbits[0, :]
+
+        # ---- epoch epilogue: compact → rotate → merge → dump ------------
+        rows64 = jax.lax.broadcasted_iota(i32, (2 * EPOCH, LANES), 0)
+        c_tot = cnt
+        val = st_s[0 : 2 * EPOCH, :]
+        delta = st_s[64 : 64 + 2 * EPOCH, :].astype(i32)
+        valid = st_s[128 : 128 + 2 * EPOCH, :] != u32(0)
+
+        def shift_up(a, n, fill):
+            rolled = pltpu.roll(a, 2 * EPOCH - n, axis=0)
+            keep = rows64 < i32(2 * EPOCH - n)
+            return jnp.where(keep, rolled, fill)
+
+        for jph in range(6):  # log2(64) monotone-shift compaction phases
+            sh = 1 << jph
+            move = valid & (((delta >> jph) & 1) == 1)
+            m_in = shift_up(move, sh, False)
+            val = jnp.where(m_in, shift_up(val, sh, u32(0)), val)
+            delta = jnp.where(m_in, shift_up(delta, sh, i32(0)), delta)
+            valid = m_in | (valid & ~move)
+
+        # Rotate compacted words to ring offset nw (mod RING) per lane.
+        rot = jnp.concatenate([val, jnp.zeros((RING - 2 * EPOCH, LANES), u32)], axis=0)
+        nw0 = nw_s[0, :][None, :]
+        for kph in range(7):  # log2(RING) conditional roll phases
+            sh = 1 << kph
+            cond = ((nw0 >> kph) & 1) == 1
+            rot = jnp.where(cond, pltpu.roll(rot, sh, axis=0), rot)
+        ringrows = jax.lax.broadcasted_iota(i32, (RING, LANES), 0)
+        tgt = (ringrows - nw0) & i32(RING - 1)
+        write = tgt < c_tot
+        ring_s[:, :] = jnp.where(write, rot, ring_s[:, :])
+        nw_s[0, :] = (nw0 + c_tot)[0, :]
+
+        def run_dumps(full_tail):
+            nd = nd_s[0, :][None, :]
+            limit = (nw_s[0, :][None, :] + (i32(31) if full_tail else i32(0))) >> i32(5)
+            need = nd < limit
+            pmin_s[0, 0] = jnp.min(jnp.where(need, nd, i32(0x7FFFFFF)))
+            pmax_s[0, 0] = jnp.max(jnp.where(need, limit, i32(0)))
+            cap = n_words // SLAB
+
+            def dump_p(p, _):
+                ndv = nd_s[0, :][None, :]
+                m = (ndv == p) & (p < limit)
+                slot = (p % (RING // SLAB)) * SLAB
+                blk = ring_s[pl.ds(slot, SLAB), :]
+                old = out_ref[pl.ds(p * SLAB, SLAB), :]
+                out_ref[pl.ds(p * SLAB, SLAB), :] = jnp.where(m, blk, old)
+                nd_s[0, :] = jnp.where(m[0, :], p + i32(1), nd_s[0, :])
+                return 0
+
+            jax.lax.fori_loop(
+                pmin_s[0, 0], jnp.minimum(pmax_s[0, 0], cap), dump_p, 0
+            )
+
+        run_dumps(False)
+
+        @pl.when(e == n_epochs - 1)
+        def _finish():
+            # Tail: remaining accbits (< 32) left-aligned in a0 — one word.
+            accb = acc_s[3, :][None, :]
+            a0v = acc_s[0, :][None, :]
+            nw0f = nw_s[0, :][None, :]
+            has_tail = accb > u32(0)
+            # merge the single tail word at ring row nw mod RING
+            tgtrow = nw0f & i32(RING - 1)
+            m = (ringrows == tgtrow) & has_tail
+            ring_s[:, :] = jnp.where(m, a0v, ring_s[:, :])
+            nw_s[0, :] = (nw0f + has_tail.astype(i32))[0, :]
+            # byte length BEFORE tail-word padding (v2: bits -> bytes)
+            bits = nw0f.astype(i32) * i32(32) + accb.astype(i32)
+            blen_ref[0, :] = ((bits + i32(7)) >> i32(3))[0, :]
+            ovf_ref[0, :] = iv_s[3, :].astype(i32)
+            run_dumps(True)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("params", "n_words"))
+def _encode_pallas_jit(lo_t, hi_t, tot_t, lens, params: Parameters, n_words: int):
+    k_pad, b = lo_t.shape
+    n_tiles = b // LANES
+    n_epochs = k_pad // EPOCH
+    k = k_pad  # steps cover t in [0, k_pad); callers pad past lens
+    nw_pad = ((n_words + SLAB - 1) // SLAB) * SLAB
+    kernel = _encode_kernel(params, k, nw_pad, n_epochs)
+    out, blen, ovf = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_epochs),
+        interpret=jax.default_backend() == "cpu",
+        in_specs=[
+            pl.BlockSpec((1, LANES), lambda i, e: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((EPOCH, LANES), lambda i, e: (e, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((EPOCH, LANES), lambda i, e: (e, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((EPOCH, LANES), lambda i, e: (e, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nw_pad, LANES), lambda i, e: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i, e: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i, e: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nw_pad, b), jnp.uint32),
+            jax.ShapeDtypeStruct((1, b), jnp.int32),
+            jax.ShapeDtypeStruct((1, b), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((192, LANES), u32),  # stage: 64 words + 64 disp + 64 valid
+            pltpu.VMEM((RING, LANES), u32),  # ring
+            pltpu.VMEM((1, LANES), i32),  # nw
+            pltpu.VMEM((1, LANES), i32),  # nd
+            pltpu.VMEM((4, LANES), u32),  # acc a0..a2 + accbits
+            pltpu.VMEM((4, LANES), u32),  # low, high, pending, ovf
+            pltpu.SMEM((1, 1), i32),
+            pltpu.SMEM((1, 1), i32),
+        ],
+    )(lens, lo_t, hi_t, tot_t)
+    return out, blen, ovf
+
+
+def encode_blocks_pallas(lo, hi, tot, lens, params: Parameters, n_words: int):
+    """Drop-in for :func:`redux_tpu.ops.coder.encode_blocks_v2`.
+
+    Args: ``(B, K)`` int32 model triples (rank precompute), ``(B,)``
+    lens.  Returns ``(words (B, n_words) u32, byte_lens (B,), ovf (B,))``
+    with streams bit-identical to the XLA encoder.
+    """
+    if not (params.fits_u32 or params.fits_wide32):
+        raise ValueError("pallas encoder requires fits_u32 or fits_wide32 params")
+    b, k = lo.shape
+    b_pad = ((b + LANES - 1) // LANES) * LANES
+    # Steps must reach t == lens == k for full blocks (the terminator).
+    k_pad = ((k + 1 + EPOCH - 1) // EPOCH) * EPOCH
+    with jax.enable_x64(False):
+        def prep(x, fill):
+            x = jnp.pad(x.astype(jnp.int32), ((0, b_pad - b), (0, k_pad - k)),
+                        constant_values=fill)
+            return x.T  # (K_pad, B)
+
+        lo_t = prep(lo, 0)
+        hi_t = prep(hi, 0)
+        tot_t = prep(tot, 1)  # ones: no div-by-zero on padded steps
+        lens_p = jnp.pad(lens.astype(jnp.int32), (0, b_pad - b),
+                         constant_values=-1).reshape(1, b_pad)
+        nw_pad = ((n_words + SLAB - 1) // SLAB) * SLAB
+        words_t, blen, ovf = _encode_pallas_jit(lo_t, hi_t, tot_t, lens_p, params, nw_pad)
+        return words_t.T[:b, :n_words], blen[0, :b], ovf[0, :b].astype(bool)

@@ -2,11 +2,11 @@
 
 Blocks are independent streams, so the codec shards embarrassingly along
 the block (lane) axis: a 1-D ``Mesh`` named ``"dp"``, every array
-partitioned on its leading dimension, and ``shard_map`` so each device
-runs its own scan — including its own loop conditions — with **zero
-collectives in the hot path**.  (Partitioning the jitted function instead
-would turn every ``jnp.any`` in the renorm/run loops into a cross-device
-all-reduce per iteration.)
+partitioned on its leading dimension, and ``jax.shard_map`` so each
+device runs its own scan — including its own loop conditions — with
+**zero collectives in the hot path**.  (Partitioning the jitted function
+instead would turn every ``jnp.any`` in the renorm/run loops into a
+cross-device all-reduce per iteration.)
 
 Outputs (words, byte lengths / symbols) come back sharded on the same axis
 and are gathered in original block order by the host splice — the
@@ -25,7 +25,6 @@ from typing import Optional, Sequence
 
 import jax
 import numpy as np
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..params import Parameters
@@ -46,45 +45,51 @@ def pad_to_devices(b: int, mesh: Mesh) -> int:
     return ((max(b, 1) + n - 1) // n) * n
 
 
+# check_vma=False throughout: the init_cum operand is replicated (P())
+# and consumed read-only inside every shard; the varying-manual-axes
+# checker cannot prove that for the scan-heavy bodies, but replication
+# is guaranteed by construction (the caller passes one host array).
+
+
 @functools.partial(
     jax.jit, static_argnames=("params", "n_words", "mesh"), donate_argnums=()
 )
-def _encode_sharded(lo, hi, tot, el, eh, et, lens, params: Parameters, n_words: int, mesh: Mesh):
-    fn = functools.partial(coder.encode_blocks.__wrapped__, params=params, n_words=n_words)
+def _encode_sharded(lo, hi, tot, lens, params: Parameters, n_words: int, mesh: Mesh):
+    fn = functools.partial(coder.encode_blocks_v2.__wrapped__, params=params, n_words=n_words)
     spec = P("dp")
-    return shard_map(
+    return jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(spec, spec, spec, spec, spec, spec, spec),
-        out_specs=(spec, spec),
-        check_rep=False,
-    )(lo, hi, tot, el, eh, et, lens)
+        in_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec, spec),
+        check_vma=False,
+    )(lo, hi, tot, lens)
 
 
-def encode_blocks_sharded(lo, hi, tot, el, eh, et, lens, params: Parameters, n_words: int, mesh: Mesh):
-    """Sharded :func:`redux_tpu.ops.coder.encode_blocks` (lane axis over ``dp``).
+def encode_blocks_sharded(lo, hi, tot, lens, params: Parameters, n_words: int, mesh: Mesh):
+    """Sharded :func:`redux_tpu.ops.coder.encode_blocks_v2` (lanes over ``dp``).
 
     The lane count must be a multiple of the mesh size
-    (use :func:`pad_to_devices`).
+    (use :func:`pad_to_devices`).  Returns ``(words, byte_lens, ovf)``.
     """
-    return _encode_sharded(lo, hi, tot, el, eh, et, lens, params, n_words, mesh)
+    return _encode_sharded(lo, hi, tot, lens, params, n_words, mesh)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "k", "mesh"))
-def _decode_sharded(words, lens, init_cum, params: Parameters, k: int, mesh: Mesh):
-    fn = functools.partial(coder.decode_blocks.__wrapped__, params=params, k=k)
-    return shard_map(
+@functools.partial(jax.jit, static_argnames=("params", "k", "delta", "mesh"))
+def _decode_sharded(words, lens, init_cum, params: Parameters, k: int, delta: int, mesh: Mesh):
+    fn = functools.partial(coder.decode_blocks.__wrapped__, params=params, k=k, delta=delta)
+    return jax.shard_map(
         fn,
         mesh=mesh,
         in_specs=(P("dp"), P("dp"), P()),
         out_specs=P("dp"),
-        check_rep=False,
+        check_vma=False,
     )(words, lens, init_cum)
 
 
-def decode_blocks_sharded(words, lens, init_cum, params: Parameters, k: int, mesh: Mesh):
+def decode_blocks_sharded(words, lens, init_cum, params: Parameters, k: int, mesh: Mesh, delta: int = 1):
     """Sharded :func:`redux_tpu.ops.coder.decode_blocks`."""
-    return _decode_sharded(words, lens, init_cum, params, k, mesh)
+    return _decode_sharded(words, lens, init_cum, params, k, delta, mesh)
 
 
 def initialize_multihost(**kwargs) -> None:

@@ -1,8 +1,8 @@
 """Multi-device (8 virtual CPU devices) sharded codec tests.
 
 Validates the multi-chip dp path: shard_map'ed encode/decode over a 1-D
-mesh produces bit-identical streams to the single-device path, with lanes
-partitioned across devices.
+mesh produces bit-identical streams to the single-device oracle, with
+lanes partitioned across devices.
 """
 
 import jax
@@ -11,8 +11,7 @@ import numpy as np
 import pytest
 
 from redux_tpu.models.dense import uniform_init_cum
-from redux_tpu.oracle import compress_bytes
-from redux_tpu.models import AdaptiveFenwickModel
+from redux_tpu.oracle import compress_block
 from redux_tpu.ops import coder
 from redux_tpu.ops.bitpack import streams_to_words, words_to_streams
 from redux_tpu.ops.ranks import precompute_encode_model
@@ -26,6 +25,9 @@ from redux_tpu.params import Parameters
 
 from conftest import corpus_file
 
+K = 512
+DELTA = 4
+
 
 @pytest.fixture(scope="module")
 def mesh():
@@ -34,7 +36,7 @@ def mesh():
     return data_parallel_mesh()
 
 
-def _prep(params, n_blocks=16, k=512):
+def _prep(params, n_blocks=16, k=K):
     data = corpus_file("calgary", "news").read_bytes()
     blocks = [data[i * k : (i + 1) * k] for i in range(n_blocks)]
     blocks[-1] = blocks[-1][: k // 3]  # ragged tail
@@ -47,31 +49,40 @@ def _prep(params, n_blocks=16, k=512):
     return blocks, syms, lens, ic
 
 
+def _encode_model(params, syms, lens, ic):
+    lo, hi, tot, _, _, _ = precompute_encode_model(
+        jnp.asarray(syms), jnp.asarray(lens), jnp.asarray(ic), params.freq_max,
+        delta=DELTA,
+    )
+    return lo, hi, tot
+
+
 def test_sharded_encode_matches_oracle(mesh):
     p = Parameters(8, 14, 16)
     n = pad_to_devices(16, mesh)
     blocks, syms, lens, ic = _prep(p, n_blocks=n)
-    lo, hi, tot, el, eh, et = precompute_encode_model(
-        jnp.asarray(syms), jnp.asarray(lens), jnp.asarray(ic), p.freq_max
+    lo, hi, tot = _encode_model(p, syms, lens, ic)
+    w = coder.max_block_words(min(257 + DELTA * K, p.freq_max), p.symbol_count, p, K)
+    words, byte_lens, ovf = encode_blocks_sharded(
+        lo, hi, tot, jnp.asarray(lens), p, w, mesh
     )
-    w = coder.max_block_words(min(257 + 512, p.freq_max), p.symbol_count, p, 512)
-    words, byte_lens = encode_blocks_sharded(
-        lo, hi, tot, el, eh, et, jnp.asarray(lens), p, w, mesh
-    )
+    assert not np.asarray(ovf).any()
     streams = words_to_streams(np.asarray(words), np.asarray(byte_lens))
     for i, d in enumerate(blocks):
-        assert streams[i] == compress_bytes(d, AdaptiveFenwickModel(p)), i
+        assert streams[i] == compress_block(d, p, ic.astype(np.int64), DELTA), i
 
 
 def test_sharded_decode_roundtrip(mesh):
     p = Parameters(8, 14, 16)
     n = pad_to_devices(16, mesh)
     blocks, syms, lens, ic = _prep(p, n_blocks=n)
-    w = coder.max_block_words(min(257 + 512, p.freq_max), p.symbol_count, p, 512)
-    refs = [compress_bytes(d, AdaptiveFenwickModel(p)) for d in blocks]
+    w = coder.max_block_words(min(257 + DELTA * K, p.freq_max), p.symbol_count, p, K)
+    refs = [compress_block(d, p, ic.astype(np.int64), DELTA) for d in blocks]
     wm = streams_to_words(refs, w)
     dec = np.asarray(
-        decode_blocks_sharded(jnp.asarray(wm), jnp.asarray(lens), jnp.asarray(ic), p, 512, mesh)
+        decode_blocks_sharded(
+            jnp.asarray(wm), jnp.asarray(lens), jnp.asarray(ic), p, K, mesh, delta=DELTA
+        )
     )
     for i, d in enumerate(blocks):
         assert bytes(dec[i, : lens[i]].astype(np.uint8)) == d, i
@@ -81,12 +92,8 @@ def test_sharded_output_is_actually_sharded(mesh):
     p = Parameters(8, 14, 16)
     n = pad_to_devices(16, mesh)
     _, syms, lens, ic = _prep(p, n_blocks=n)
-    lo, hi, tot, el, eh, et = precompute_encode_model(
-        jnp.asarray(syms), jnp.asarray(lens), jnp.asarray(ic), p.freq_max
-    )
-    w = coder.max_block_words(min(257 + 512, p.freq_max), p.symbol_count, p, 512)
-    words, _ = encode_blocks_sharded(
-        lo, hi, tot, el, eh, et, jnp.asarray(lens), p, w, mesh
-    )
+    lo, hi, tot = _encode_model(p, syms, lens, ic)
+    w = coder.max_block_words(min(257 + DELTA * K, p.freq_max), p.symbol_count, p, K)
+    words, _, _ = encode_blocks_sharded(lo, hi, tot, jnp.asarray(lens), p, w, mesh)
     # The lane axis must be partitioned across all mesh devices.
     assert len(words.sharding.device_set) == mesh.devices.size

@@ -1,0 +1,121 @@
+"""Differential tests of the dual-u32 + f32 exact wide arithmetic.
+
+Ground truth is Python/numpy int64; the module under test never leaves
+u32/f32/int32 (the TPU-native dtypes).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from redux_tpu.ops import wide32
+
+
+def _muldiv_ref(a, b, d):
+    return (a.astype(np.int64) * b.astype(np.int64)) // d.astype(np.int64)
+
+
+def _check(a, b, d, sub1=False):
+    a_j, b_j, d_j = (jnp.asarray(x.astype(np.uint32)) for x in (a, b, d))
+    if sub1:
+        got = np.asarray(jax.jit(wide32.muldiv_sub1)(a_j, b_j, d_j))
+        exp = (a.astype(np.int64) * b.astype(np.int64) - 1) // d.astype(np.int64)
+    else:
+        got = np.asarray(jax.jit(wide32.muldiv)(a_j, b_j, d_j))
+        exp = _muldiv_ref(a, b, d)
+    np.testing.assert_array_equal(got.astype(np.int64), exp)
+
+
+def _clamp_quotient(a, b, d):
+    """Raise d where needed so the contract quotient < 2**23 holds."""
+    floor_d = (a.astype(np.int64) * b.astype(np.int64) >> 23) + 1
+    return np.maximum(d.astype(np.int64), floor_d).astype(np.uint32)
+
+
+def test_random_full_range():
+    rng = np.random.default_rng(0)
+    n = 200_000
+    a = rng.integers(0, 1 << 22, n, dtype=np.uint32)  # a < 2**22
+    b = rng.integers(0, 1 << 20, n, dtype=np.uint32)  # b < 2**20
+    d = rng.integers(1, 1 << 22, n, dtype=np.uint32)  # 1 <= d < 2**22
+    _check(a, b, _clamp_quotient(a, b, d))
+
+
+def test_random_sub1():
+    rng = np.random.default_rng(1)
+    n = 200_000
+    a = rng.integers(1, 1 << 22, n, dtype=np.uint32)
+    b = rng.integers(1, 1 << 20, n, dtype=np.uint32)
+    d = rng.integers(1, 1 << 22, n, dtype=np.uint32)
+    _check(a, b, _clamp_quotient(a, b, d), sub1=True)
+
+
+def test_boundary_magnitudes():
+    """Adversarial corners: maximal products, tiny/near-equal divisors."""
+    vals_a = np.array(
+        [1, 2, (1 << 11) - 1, 1 << 11, (1 << 11) + 1, (1 << 22) - 1, (1 << 22) - 2],
+        dtype=np.uint32,
+    )
+    vals_b = np.array([1, 2, (1 << 20) - 1, (1 << 20) - 2, 257, 258], dtype=np.uint32)
+    vals_d = np.array(
+        [1, 2, 3, 255, 256, 257, (1 << 20) - 1, (1 << 20), (1 << 22) - 1],
+        dtype=np.uint32,
+    )
+    a, b, d = (x.ravel() for x in np.meshgrid(vals_a, vals_b, vals_d))
+    d = _clamp_quotient(a, b, d)
+    _check(a, b, d)
+    mask = a.astype(np.int64) * b.astype(np.int64) >= 1
+    _check(a[mask], b[mask], d[mask], sub1=True)
+
+
+def test_exact_multiples():
+    """q*d and q*d ± 1 around the floor boundary — the fixup's worst case."""
+    rng = np.random.default_rng(2)
+    n = 100_000
+    q = rng.integers(0, 1 << 20, n, dtype=np.int64)
+    d = rng.integers(1, 1 << 22, n, dtype=np.int64)
+    # keep products within the a<2**22, b<2**20 factorization domain:
+    # represent x = q*d via a=d (<2**22), b=q (<2**20); x-1/x+1 need care,
+    # so instead test muldiv at (a=d, b=q) and sub1 at the same point.
+    x = q * d
+    keep = x >= 1
+    a = d[keep].astype(np.uint32)
+    b = q[keep].astype(np.uint32)
+    dd = d[keep].astype(np.uint32)
+    _check(a, b, dd)  # exactly divisible: q must be exact
+    _check(a, b, dd, sub1=True)  # one below the boundary: q-1
+
+
+def test_coder_distribution():
+    """The distribution the coder actually produces: rng in (2**20, 2**22],
+    counts in [257, 2**20), plus the freeze plateau at freq_max."""
+    rng = np.random.default_rng(3)
+    n = 200_000
+    qrt = 1 << 20
+    rg = rng.integers(qrt + 1, 1 << 22, n, dtype=np.uint32)  # rng > quarter
+    cnt = rng.integers(257, 1 << 20, n, dtype=np.uint32)
+    cnt[: n // 10] = (1 << 20) - 1  # freeze plateau (adaptive_linear.rs:34)
+    f = (rng.integers(0, 1 << 20, n, dtype=np.uint32) % (cnt + 1)).astype(np.uint32)  # f <= count
+    _check(rg, f, cnt)
+
+
+def test_pallas_interpret_smoke():
+    """The same ops inside a Pallas kernel (interpret mode on CPU)."""
+    from jax.experimental import pallas as pl
+
+    def kernel(a_ref, b_ref, d_ref, out_ref):
+        out_ref[:, :] = wide32.muldiv(a_ref[:, :], b_ref[:, :], d_ref[:, :])
+
+    rng = np.random.default_rng(4)
+    a = rng.integers(0, 1 << 22, (8, 128), dtype=np.uint32)
+    b = rng.integers(0, 1 << 20, (8, 128), dtype=np.uint32)
+    d = rng.integers(1, 1 << 22, (8, 128), dtype=np.uint32)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.uint32),
+        interpret=True,
+    )(a, b, d)
+    np.testing.assert_array_equal(
+        np.asarray(out).astype(np.int64), _muldiv_ref(a, b, d)
+    )
