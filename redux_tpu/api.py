@@ -91,6 +91,26 @@ def _init_cum(params: Parameters, prior_extra: Optional[np.ndarray]) -> np.ndarr
     return prior_init_cum(full, params).astype(np.int32)
 
 
+def _use_pallas(params: Parameters) -> bool:
+    """Mosaic kernels run on real TPU backends; XLA paths everywhere else.
+
+    The Pallas kernels are semantically identical (differential-tested in
+    interpreter mode), but on CPU the interpreter is far slower than the
+    XLA scan path, so CPU keeps the scans.  ``REDUX_TPU_NO_PALLAS=1``
+    forces the XLA path on TPU too (debug / A-B benchmarking).
+    """
+    import os
+
+    if os.environ.get("REDUX_TPU_NO_PALLAS"):
+        return False
+    if not (params.fits_u32 or params.fits_wide32):
+        return False
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover - backend init failure
+        return False
+
+
 def _check_config(params: Parameters, block_size: int, delta: int, init_total: int):
     """Reject configs whose adaptation would freeze from the start."""
     if init_total >= params.freq_max:
@@ -140,27 +160,47 @@ def encode(
         jnp.asarray(syms), jnp.asarray(lens), jnp.asarray(ic), params.freq_max,
         delta=delta,
     )
-    n_words = _static_words(params, k, delta)
+    # Per-lane output capacity: any block whose coded stream reaches its
+    # raw size is stored uncompressed (container RAW_BIT), so the buffer
+    # never needs the adversarial code_bits-per-symbol bound — this also
+    # keeps the Pallas encode kernel's VMEM output block ~ block_size.
+    n_words = min(_static_words(params, k, delta), k // 4 + 16)
     lens_j = jnp.asarray(lens)
-    words, byte_lens, ovf = encode_blocks_v2(lo, hi, tot, lens_j, params, n_words)
+    if _use_pallas(params):
+        from .ops.pallas_encode import encode_blocks_pallas
+
+        words, byte_lens, ovf = encode_blocks_pallas(
+            lo, hi, tot, lens_j, params, n_words
+        )
+    else:
+        words, byte_lens, ovf = encode_blocks_v2(lo, hi, tot, lens_j, params, n_words)
     byte_lens = np.asarray(byte_lens)
     ovf = np.asarray(ovf)
-    if int(byte_lens[:n_blocks].max(initial=0)) > 4 * n_words:
+    # Stored-raw decision (backend-independent): overflowed lanes and any
+    # block whose coded stream is not smaller than the raw bytes.
+    block_len = lambda i: min(block_size, len(data) - i * block_size)
+    raw = [
+        bool(ovf[i]) or int(byte_lens[i]) >= block_len(i) for i in range(n_blocks)
+    ]
+    if int(byte_lens[:n_blocks].max(initial=0)) > 4 * n_words and not all(
+        raw[i] for i in range(n_blocks) if int(byte_lens[i]) > 4 * n_words
+    ):
         raise InvalidInputError()  # buffer bound violated — never silent
     # Trim to the words actually used and fetch as uint8 (fast transfer).
-    wcap = _pad_lanes(max(1, -(-int(byte_lens[:n_blocks].max(initial=1)) // 4)))
+    coded_max = max(
+        (int(byte_lens[i]) for i in range(n_blocks) if not raw[i]), default=1
+    )
+    wcap = _pad_lanes(max(1, -(-coded_max // 4)))
     wcap = min(wcap, n_words)
     byts = np.asarray(words_to_bytes_device(words[:, :wcap]))
-    streams = [byts[i, : byte_lens[i]].tobytes() for i in range(n_blocks)]
-    if ovf[:n_blocks].any():
-        # Pathological E3 pending runs (> 64 bits, probability ~2^-47 per
-        # symbol): re-encode the flagged blocks with the sequential oracle
-        # — bit-identical v2 payload format, negligible volume.
-        for i in np.nonzero(ovf[:n_blocks])[0]:
-            blk = data[i * block_size : (i + 1) * block_size]
-            streams[i] = oracle.compress_block(blk, params, ic.astype(np.int64), delta)
+    streams = [
+        data[i * block_size : i * block_size + block_len(i)]
+        if raw[i]
+        else byts[i, : byte_lens[i]].tobytes()
+        for i in range(n_blocks)
+    ]
     return container.build_archive(
-        params, block_size, len(data), streams, prior_extra, delta, crc
+        params, block_size, len(data), streams, prior_extra, delta, crc, raw
     )
 
 
@@ -181,6 +221,7 @@ def decode(archive: bytes) -> bytes:
     ic = _init_cum(params, prior)
     n_blocks = header.n_blocks
     block_lens = np.asarray(header.block_lens, dtype=np.int32)
+    raw = list(header.block_raw) or [False] * n_blocks
     k = header.block_size
     n_words = _static_words(params, k, header.delta)
     b_pad = _pad_lanes(n_blocks)
@@ -188,23 +229,48 @@ def decode(archive: bytes) -> bytes:
     # sized to the words actually needed; pack to u32 on-device.  Two
     # extra zero words guarantee the decoder's read-ahead past each
     # stream's terminator sees zero bits (the v2 termination contract).
-    wcap = _pad_lanes(max(4, -(-max(header.block_byte_lens) // 4) + 2))
+    # Stored-raw blocks bypass the kernel entirely (len 0 lanes) and are
+    # spliced from the archive bytes at assembly.
+    coded_max = max(
+        (len(s) for i, s in enumerate(streams) if not raw[i]), default=4
+    )
+    wcap = _pad_lanes(max(4, -(-coded_max // 4) + 2))
     wcap = min(wcap, n_words + 2)
     byts = np.zeros((b_pad, wcap * 4), dtype=np.uint8)
     for i, s in enumerate(streams):
-        byts[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+        if not raw[i]:
+            byts[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
     lens_pad = np.zeros(b_pad, dtype=np.int32)
     lens_pad[:n_blocks] = block_lens
+    for i in range(n_blocks):
+        if raw[i]:
+            if len(streams[i]) != int(block_lens[i]):
+                raise InvalidInputError()
+            lens_pad[i] = 0
     words = bytes_to_words_device(jnp.asarray(byts))
-    syms = np.asarray(
-        decode_blocks(
-            words, jnp.asarray(lens_pad), jnp.asarray(ic), params, k,
-            delta=header.delta,
+    if _use_pallas(params):
+        from .ops.pallas_decode import decode_blocks_pallas
+
+        syms = np.asarray(
+            decode_blocks_pallas(
+                words, jnp.asarray(lens_pad), jnp.asarray(ic), params, k,
+                delta=header.delta,
+            )
         )
-    )
+    else:
+        syms = np.asarray(
+            decode_blocks(
+                words, jnp.asarray(lens_pad), jnp.asarray(ic), params, k,
+                delta=header.delta,
+            )
+        )
     # Blocks are contiguous and full-sized except the last, so the flattened
     # symbol matrix's first orig_len entries are exactly the original bytes.
-    out = syms[:n_blocks].astype(np.uint8).reshape(-1)[: header.orig_len].tobytes()
+    flat = syms[:n_blocks].astype(np.uint8).reshape(n_blocks, -1)
+    for i in range(n_blocks):
+        if raw[i]:
+            flat[i, : block_lens[i]] = np.frombuffer(streams[i], dtype=np.uint8)
+    out = flat.reshape(-1)[: header.orig_len].tobytes()
     container.verify_crc(header, out)
     return out
 

@@ -75,6 +75,9 @@ DEFAULT_DELTA = 16
 DEFAULT_PRIOR_BUDGET = 1 << 17
 
 
+RAW_BIT = 1 << 31  # stored-length top bit: block stored raw (uncompressed)
+
+
 @dataclasses.dataclass(frozen=True)
 class ArchiveHeader:
     params: Parameters
@@ -84,6 +87,12 @@ class ArchiveHeader:
     prior_extra: Optional[np.ndarray]  # (256,) int64 extra counts, or None
     delta: int = 1
     crc32: int = 0
+    # Per-block stored-raw flags: arithmetic coding can expand adversarial
+    # data by up to code_bits/8 per symbol; blocks whose coded stream would
+    # reach their raw size are stored uncompressed instead (top bit of the
+    # stored length).  This also caps the TPU kernels' per-lane output
+    # buffers at ~block_size bytes.
+    block_raw: tuple = ()
 
     @property
     def n_blocks(self) -> int:
@@ -109,6 +118,7 @@ def build_archive(
     prior_extra: Optional[np.ndarray],
     delta: int = 1,
     crc: int = 0,
+    block_raw: Optional[List[bool]] = None,
 ) -> bytes:
     p = header_params
     if not 1 <= delta <= 255:
@@ -120,7 +130,9 @@ def build_archive(
         "<BBBBBB2x", VERSION, flags, p.symbol_bits, p.freq_bits, p.code_bits, delta
     )
     head += struct.pack("<IQII", block_size, orig_len, len(block_streams), crc)
-    head += struct.pack(f"<{len(block_streams)}I", *(len(s) for s in block_streams))
+    raw = block_raw or [False] * len(block_streams)
+    lens = [len(s) | (RAW_BIT if r else 0) for s, r in zip(block_streams, raw)]
+    head += struct.pack(f"<{len(block_streams)}I", *lens)
     if prior_extra is not None:
         if prior_extra.shape != (256,) or prior_extra.max(initial=0) > 0xFFFF:
             raise InvalidInputError()
@@ -140,7 +152,9 @@ def parse_archive(archive: bytes) -> tuple[ArchiveHeader, List[bytes]]:
     off = HEADER_BYTES
     if len(archive) < off + 4 * n_blocks:
         raise InvalidInputError()
-    byte_lens = list(struct.unpack_from(f"<{n_blocks}I", archive, off))
+    packed = struct.unpack_from(f"<{n_blocks}I", archive, off)
+    byte_lens = [n & ~RAW_BIT for n in packed]
+    block_raw = tuple(bool(n & RAW_BIT) for n in packed)
     off += 4 * n_blocks
     prior = None
     if flags & FLAG_PRIOR:
@@ -158,7 +172,9 @@ def parse_archive(archive: bytes) -> tuple[ArchiveHeader, List[bytes]]:
             raise InvalidInputError()
         streams.append(archive[off : off + n])
         off += n
-    header = ArchiveHeader(params, block_size, orig_len, byte_lens, prior, delta, crc)
+    header = ArchiveHeader(
+        params, block_size, orig_len, byte_lens, prior, delta, crc, block_raw
+    )
     if block_size == 0 and orig_len > 0:
         raise InvalidInputError()
     expect_blocks = (orig_len + block_size - 1) // block_size if orig_len else 0

@@ -200,7 +200,8 @@ def _encode_kernel(params: Parameters, k: int, n_words: int, n_epochs: int):
         for jph in range(6):  # log2(64) monotone-shift compaction phases
             sh = 1 << jph
             move = valid & (((delta >> jph) & 1) == 1)
-            m_in = shift_up(move, sh, False)
+            # Mosaic cannot rotate i1 vectors — roll the mask as i32.
+            m_in = shift_up(move.astype(i32), sh, i32(0)) != 0
             val = jnp.where(m_in, shift_up(val, sh, u32(0)), val)
             delta = jnp.where(m_in, shift_up(delta, sh, i32(0)), delta)
             valid = m_in | (valid & ~move)

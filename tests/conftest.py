@@ -43,3 +43,26 @@ def resources() -> pathlib.Path:
 
 def corpus_file(*parts: str) -> pathlib.Path:
     return RESOURCES.joinpath(*parts)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="run the full-corpus grid tier (the reference gates these to "
+        "release builds, tests/corpora.rs via cfg_attr(debug_assertions))",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: full-corpus grid (needs --runslow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="needs --runslow (corpus grid tier)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -79,3 +79,30 @@ def test_decode_auto_dispatch():
     ref = compress_bytes(data)
     assert api.decode_auto(arc) == data
     assert api.decode_auto(ref) == data  # bare reference-format stream
+
+
+def test_raw_blocks_incompressible():
+    """Adversarial (random) data: blocks store raw — archive stays ~input
+    size + header instead of expanding, and round-trips bit-exactly."""
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, 100_000, dtype=np.uint8).tobytes()
+    arch = api.encode(data, block_size=16384)
+    header, streams = container.parse_archive(arch)
+    assert any(header.block_raw), "random blocks should be stored raw"
+    # raw storage bounds the archive near the input size
+    assert len(arch) <= len(data) + 64 + 4 * header.n_blocks + 512
+    assert api.decode(arch) == data
+
+
+def test_raw_blocks_mixed_with_coded():
+    """Compressible and incompressible blocks in one archive."""
+    rng = np.random.default_rng(8)
+    data = (
+        b"a" * 16384
+        + rng.integers(0, 256, 16384, dtype=np.uint8).tobytes()
+        + b"hello world " * 1400
+    )
+    arch = api.encode(data, block_size=16384)
+    header, _ = container.parse_archive(arch)
+    assert any(header.block_raw) and not all(header.block_raw)
+    assert api.decode(arch) == data
