@@ -236,6 +236,10 @@ def _decode_pallas_jit(words_t, lens, init_col, params: Parameters, k: int, delt
         # Mosaic compiles on TPU; everywhere else (CPU tests, the 8-device
         # virtual mesh) the interpreter executes the identical semantics.
         interpret=jax.default_backend() == "cpu",
+        # words tile + its prefetch double-buffer + the (K,128) u8 output
+        # exceed the compiler's default 16 MiB scoped-vmem cap by a hair;
+        # v5e has headroom above it.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=jax.ShapeDtypeStruct((k_pad, b), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((S_PAD, LANES), i32),  # cdf

@@ -276,6 +276,7 @@ def _encode_pallas_jit(lo_t, hi_t, tot_t, lens, params: Parameters, n_words: int
         kernel,
         grid=(n_tiles, n_epochs),
         interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec((1, LANES), lambda i, e: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((EPOCH, LANES), lambda i, e: (e, i), memory_space=pltpu.VMEM),

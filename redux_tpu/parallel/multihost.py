@@ -1,0 +1,132 @@
+"""Multi-host (DCN) data-parallel codec demo/verification.
+
+The codec's multi-host story (SURVEY §2): blocks are sharded across all
+hosts of a pod slice over the ``dp`` mesh axis; each host encodes its
+local shard with zero collectives in the hot path; per-block compressed
+outputs are reassembled in original block order by an ordered all-gather
+(``multihost_utils.process_allgather``).  Scaling is embarrassing by
+construction — DCN traffic is exactly the gathered compressed bytes.
+
+:func:`run_multihost_roundtrip` is the process entry used by the
+multi-process CPU test (tests/test_multihost.py) and by real pod-slice
+jobs alike: only the coordinator address and process count differ.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..params import Parameters
+
+
+def run_multihost_roundtrip(
+    coordinator: str,
+    num_processes: int,
+    process_id: int,
+    n_blocks_per_host: int = 4,
+    k: int = 1024,
+    seed: int = 0,
+) -> str:
+    """Initialize jax.distributed, encode sharded, gather, verify.
+
+    Returns "MULTIHOST OK ..." on success; raises on any mismatch.
+    """
+    import jax
+
+    from .mesh import data_parallel_mesh, encode_blocks_sharded, initialize_multihost
+
+    initialize_multihost(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..models.dense import uniform_init_cum
+    from ..ops.coder import max_block_words
+    from ..ops.ranks import precompute_encode_model
+    from .. import oracle
+
+    params = Parameters.tpu_wide()
+    delta = 16
+    b = n_blocks_per_host * num_processes
+    rng = np.random.default_rng(seed)
+    # Same global input on every host (deterministic): mixed entropy.
+    data = (rng.integers(0, 256, b * k // 2, dtype=np.uint8).tobytes()
+            + (b"multihost block parallel coding " * ((b * k) // 64 + 1)))[: b * k]
+    syms_np = np.frombuffer(data, np.uint8).reshape(b, k).astype(np.int32)
+    lens_np = np.full(b, k, np.int32)
+    ic = uniform_init_cum(params).astype(np.int32)
+
+    mesh = data_parallel_mesh()
+    assert mesh.devices.size == num_processes * jax.local_device_count()
+    shard = NamedSharding(mesh, P("dp"))
+
+    # Each process materializes only its own block shard (global arrays
+    # from process-local data — the DCN-friendly input path).
+    def local_piece(x):
+        return jax.make_array_from_callback(x.shape, shard, lambda idx: x[idx])
+
+    syms = local_piece(syms_np)
+    lens = local_piece(lens_np)
+
+    # Full worst-case buffer bound: this demo asserts oracle bit-equality
+    # on every block (incl. the incompressible ones the api would instead
+    # store raw), so capacity must cover arithmetic-coding expansion.
+    n_words = max_block_words(
+        min(257 + delta * k, params.freq_max), params.symbol_count, params, k
+    )
+    lo, hi, tot, _, _, _ = precompute_encode_model(
+        syms, lens, jnp.asarray(ic), params.freq_max, delta=delta
+    )
+    words, byte_lens, ovf = encode_blocks_sharded(
+        lo, hi, tot, lens, params, n_words, mesh
+    )
+
+    # Ordered all-gather of the compressed shards over DCN: every host
+    # reconstructs the full archive in original block order.
+    words_all = multihost_utils.process_allgather(words, tiled=True)
+    blens_all = multihost_utils.process_allgather(byte_lens, tiled=True)
+    ovf_any = bool(np.asarray(multihost_utils.process_allgather(ovf, tiled=True)).any())
+    assert not ovf_any
+
+    words_np = np.asarray(words_all)
+    blens = np.asarray(blens_all)
+    assert words_np.shape[0] == b and blens.shape[0] == b
+
+    # Verify every block against the sequential oracle (bit-exactness is
+    # host-count invariant).
+    for i in range(b):
+        exp = oracle.compress_block(
+            data[i * k : (i + 1) * k], params, ic.astype(np.int64), delta
+        )
+        got = words_np[i].astype(">u4").tobytes()[: blens[i]]
+        assert got == exp, f"block {i} mismatch on process {process_id}"
+
+    return (
+        f"MULTIHOST OK p{process_id}/{num_processes} "
+        f"blocks={b} devices={mesh.devices.size} "
+        f"compressed={int(blens.sum())}B"
+    )
+
+
+def main():  # pragma: no cover - exercised via subprocess in tests
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--process-id", type=int, required=True)
+    args = ap.parse_args()
+    print(
+        run_multihost_roundtrip(
+            args.coordinator, args.num_processes, args.process_id
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
