@@ -1,0 +1,33 @@
+# CI entry points (the reference's .travis.yml:5-7 analog:
+# build + full-tier test run; release mode un-gates the corpus grid).
+#
+# The unit tiers force the CPU backend with an 8-device virtual mesh
+# (tests/conftest.py); bench targets use the real TPU chip.
+
+PY ?= python
+PYTEST = JAX_PLATFORMS=cpu PYTHONPATH=. $(PY) -m pytest
+
+.PHONY: test test-release bench-smoke bench scaling multihost ci
+
+# Fast tier: every unit/differential/integration test that runs in debug
+# builds of the reference (artificial corpus included, grid gated).
+test:
+	$(PYTEST) tests/ -q
+
+# Release tier: adds the full corpus x config grid + the size contract
+# (the reference's `cargo test --release`).
+test-release:
+	$(PYTEST) tests/ -q --runslow -s
+
+# One-file sanity bench on the current backend (CPU works; slow).
+bench-smoke:
+	PYTHONPATH=. $(PY) bench.py --smoke
+
+# Full benchmark (driver contract: one JSON line; real TPU).
+bench:
+	PYTHONPATH=. $(PY) bench.py
+
+scaling:
+	JAX_PLATFORMS=cpu PYTHONPATH=. $(PY) scripts/scaling_bench.py
+
+ci: test bench-smoke

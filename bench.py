@@ -65,6 +65,8 @@ def measure_baseline(data: bytes) -> float:
 
 def main() -> None:
     data = load_corpus()
+    if "--smoke" in sys.argv:  # CI sanity tier: one small file, CPU-ok
+        data = data[: 1 << 18]
     if "--baseline" in sys.argv:
         gbps = measure_baseline(data)
         print(f"baseline aggregate: {gbps:.4f} GB/s", file=sys.stderr)
@@ -78,7 +80,8 @@ def main() -> None:
     value = result["aggregate_gbps"]
     print(
         f"encode {result['encode_gbps']:.3f} GB/s, decode {result['decode_gbps']:.3f} GB/s, "
-        f"ratio {result['ratio']:.3f}, verified={result['verified']}",
+        f"e2e {result['encode_e2e_gbps']:.3f}/{result['decode_e2e_gbps']:.3f} GB/s, "
+        f"ratio {result['ratio']:.3f}, pallas={result['pallas']}, verified={result['verified']}",
         file=sys.stderr,
     )
     print(json.dumps({

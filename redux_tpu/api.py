@@ -101,6 +101,8 @@ def _use_pallas(params: Parameters) -> bool:
     """
     import os
 
+    if os.environ.get("REDUX_TPU_FORCE_PALLAS"):  # tests: interpret mode
+        return params.fits_u32 or params.fits_wide32
     if os.environ.get("REDUX_TPU_NO_PALLAS"):
         return False
     if not (params.fits_u32 or params.fits_wide32):
@@ -236,40 +238,64 @@ def decode(archive: bytes) -> bytes:
     )
     wcap = _pad_lanes(max(4, -(-coded_max // 4) + 2))
     wcap = min(wcap, n_words + 2)
-    byts = np.zeros((b_pad, wcap * 4), dtype=np.uint8)
-    for i, s in enumerate(streams):
-        if not raw[i]:
-            byts[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-    lens_pad = np.zeros(b_pad, dtype=np.int32)
-    lens_pad[:n_blocks] = block_lens
+    # Lanes sorted by compressed length: blocks with similar bit rates
+    # land in the same 128-lane tile, which keeps the Pallas decoder's
+    # stream-refill spans tight (the kernel's cost model); the host-side
+    # permutation is free (streams are spliced per-block anyway) and is
+    # inverted at assembly below.
+    order = sorted(range(n_blocks), key=lambda i: 0 if raw[i] else len(streams[i]))
     for i in range(n_blocks):
-        if raw[i]:
-            if len(streams[i]) != int(block_lens[i]):
-                raise InvalidInputError()
-            lens_pad[i] = 0
-    words = bytes_to_words_device(jnp.asarray(byts))
+        if raw[i] and len(streams[i]) != int(block_lens[i]):
+            raise InvalidInputError()
     if _use_pallas(params):
-        from .ops.pallas_decode import decode_blocks_pallas
-
-        syms = np.asarray(
-            decode_blocks_pallas(
-                words, jnp.asarray(lens_pad), jnp.asarray(ic), params, k,
-                delta=header.delta,
-            )
+        # Transposed host-built layout: no device-side byte relayouts
+        # (u8 transposes are slow on TPU), one upload, one kernel.
+        from .ops.pallas_decode import (
+            decode_blocks_pallas_t,
+            init_cum_column,
+            pad_geometry,
         )
+
+        wn_pad, bp = pad_geometry(wcap, n_blocks)
+        byts = np.zeros((bp, wn_pad * 4), dtype=np.uint8)
+        lens_row = np.zeros((1, bp), dtype=np.int32)
+        for lane, i in enumerate(order):
+            if not raw[i]:
+                byts[lane, : len(streams[i])] = np.frombuffer(streams[i], np.uint8)
+                lens_row[0, lane] = block_lens[i]
+        # big-endian words, lane-minor: (wn_pad, bp)
+        words_t = np.ascontiguousarray(
+            byts.view(">u4").astype(np.uint32).T
+        )
+        out = decode_blocks_pallas_t(
+            jnp.asarray(words_t), jnp.asarray(lens_row),
+            jnp.asarray(init_cum_column(ic, params)), params, k,
+            delta=header.delta,
+        )
+        syms_u8 = np.asarray(out).T  # (bp, k_pad) view, rows = lanes
     else:
-        syms = np.asarray(
+        byts = np.zeros((b_pad, wcap * 4), dtype=np.uint8)
+        lens_pad = np.zeros(b_pad, dtype=np.int32)
+        for lane, i in enumerate(order):
+            if not raw[i]:
+                byts[lane, : len(streams[i])] = np.frombuffer(streams[i], np.uint8)
+                lens_pad[lane] = block_lens[i]
+        words = bytes_to_words_device(jnp.asarray(byts))
+        syms_u8 = np.asarray(
             decode_blocks(
                 words, jnp.asarray(lens_pad), jnp.asarray(ic), params, k,
                 delta=header.delta,
             )
-        )
-    # Blocks are contiguous and full-sized except the last, so the flattened
-    # symbol matrix's first orig_len entries are exactly the original bytes.
-    flat = syms[:n_blocks].astype(np.uint8).reshape(n_blocks, -1)
-    for i in range(n_blocks):
+        ).astype(np.uint8)
+    # Undo the lane sort, splice stored-raw blocks, flatten: blocks are
+    # contiguous and full-sized except the last, so the first orig_len
+    # entries are exactly the original bytes.
+    flat = np.zeros((n_blocks, k), dtype=np.uint8)
+    for lane, i in enumerate(order):
         if raw[i]:
             flat[i, : block_lens[i]] = np.frombuffer(streams[i], dtype=np.uint8)
+        else:
+            flat[i] = syms_u8[lane, :k]
     out = flat.reshape(-1)[: header.orig_len].tobytes()
     container.verify_crc(header, out)
     return out

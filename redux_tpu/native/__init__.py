@@ -107,6 +107,12 @@ def decompress_bytes(
     p = params or Parameters.default()
     lib = get_lib()
     cap = max_out if max_out is not None else max(len(data) * 8 + 4096, 1 << 20)
+    # Retry growth is bounded: a valid stream decodes at most
+    # ~8 * freq_bits expansion per input bit (each symbol consumes >= 1/256
+    # of a bit once the model saturates); cap the total allocation at 4 GiB
+    # so an adversarial stream fails with InvalidInputError instead of
+    # forcing unbounded allocations.
+    hard_cap = min(max(len(data), 1) * 4096 + (1 << 20), 4 << 30)
     arr, ptr = _prior_ptr(prior_extra)
     while True:
         out = np.empty(cap, dtype=np.uint8)
@@ -117,8 +123,8 @@ def decompress_bytes(
         if n == -1:
             raise EofError()
         if n == -2:  # output larger than guess: grow and retry
-            if max_out is not None:
+            if max_out is not None or cap >= hard_cap:
                 raise InvalidInputError()
-            cap *= 8
+            cap = min(cap * 8, hard_cap)
             continue
         return out[:n].tobytes()

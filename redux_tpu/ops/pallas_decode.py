@@ -19,16 +19,19 @@ runs all ``K`` symbol steps inside one kernel invocation:
   per-bit loops).
 * **Stream reads**: TPU v5e has no per-lane dynamic gather (probed:
   ``take_along_axis`` silently miscompiles in Mosaic), so per-lane
-  bitstreams are consumed through a 2-slab ring: each lane owns two
-  32-word slabs of its stream inside a ``(64, 128)`` VMEM ring.  Word
+  bitstreams are consumed through a 4-slab ring: each lane owns four
+  32-word slabs of its stream inside a ``(128, 128)`` VMEM ring.  Word
   pulls one-hot-select from the ring (pure compare/select/reduce).
-  Every 32-step epoch — which consumes at most ``32 * code_bits`` bits
-  < 32 words, so at most one slab boundary per lane — a batched refill
-  loop walks only the dynamic span ``[pmin, pmax]`` of slab indices
-  lanes actually need and merges each ``(32, 128)`` stream block into
-  the ring for the lanes that want it (dense block reads, no gather;
-  cost scales with lane divergence and is near zero for homogeneous
-  data).
+  Every second 32-step epoch (64 steps consume at most ``64 *
+  code_bits`` bits < 2 slabs) a refill sweep tops every lane back up to
+  4 resident slabs.  The sweep is a STATICALLY UNROLLED walk over
+  ring-sized GROUPS of 4 slabs — measured: any dynamically-addressed
+  VMEM block access stalls ~1.4 us on v5e, so everything is static
+  slices.  A group of 4 consecutive slabs maps exactly onto the whole
+  ring (``(4g + j) mod 4 = j``), so each executed group is ONE 128-row
+  masked merge; groups outside the scalar [min-needed, max-wanted) span
+  are skipped by ``pl.when`` on SMEM scalars for free.  Callers sort
+  lanes by stream length so a tile's spans stay tight (api.decode does).
 * **Output**: symbols staged per epoch in VMEM and stored as
   ``(32, 128)`` uint8 blocks.
 
@@ -57,8 +60,9 @@ from ..params import Parameters
 from . import wide32
 
 LANES = 128
-EPOCH = 32  # symbols per inner loop; one slab-refill check per epoch
+EPOCH = 32  # symbols per inner loop
 SLAB = 32  # words per stream slab
+RING_SLABS = 4  # resident slabs per lane; refill every 2 epochs
 S_PAD = 264  # model rows incl. padding (258 live), multiple of 8
 
 i32 = jnp.int32
@@ -76,23 +80,22 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int):
     half = params.code_half
 
     def kernel(init_ref, lens_ref, words_ref, out_ref,
-               cdf_s, ring_s, stage_s, nl_s, wqs_s, pmin_s, pmax_s):
+               cdf_s, ring_s, stage_s, nl_s, smin_s, smax_s):
         cdf_s[:, :] = init_ref[:, :] + jnp.zeros((S_PAD, LANES), i32)
         lens = lens_ref[0, :][None, :]
-        # Ring init: slabs 0 and 1 of every lane (uniform block copies).
-        ring_s[0:SLAB, :] = words_ref[0:SLAB, :]
-        ring_s[SLAB : 2 * SLAB, :] = words_ref[SLAB : 2 * SLAB, :]
-        nl_s[0, :] = jnp.full((LANES,), 2, i32)  # next slab index to load
+        # Ring init: slabs 0..3 of every lane (uniform static copies).
+        ring_s[:, :] = words_ref[0 : RING_SLABS * SLAB, :]
+        nl_s[0, :] = jnp.full((LANES,), RING_SLABS, i32)  # next slab to load
 
         def pull_word(wq):
-            """ring[wq mod 64] per lane — one-hot select over 64 rows.
+            """ring[wq mod 128] per lane — one-hot select over the ring.
 
             The reduction runs on an i32 bitcast view (Mosaic has no
             unsigned reductions); exactly one row is selected, so the
             sum reproduces the bit pattern regardless of sign.
             """
-            rows = jax.lax.broadcasted_iota(i32, (2 * SLAB, LANES), 0)
-            m = rows == (wq & i32(2 * SLAB - 1))
+            rows = jax.lax.broadcasted_iota(i32, (RING_SLABS * SLAB, LANES), 0)
+            m = rows == (wq & i32(RING_SLABS * SLAB - 1))
             ring_i = jax.lax.bitcast_convert_type(ring_s[:, :], i32)
             picked = jnp.sum(jnp.where(m, ring_i, i32(0)), axis=0, dtype=i32)[None, :]
             return jax.lax.bitcast_convert_type(picked, u32)
@@ -168,15 +171,33 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int):
             stage_s[pl.ds(t % EPOCH, 1), :] = jnp.where(active, sym, i32(0))
             return low, high, z, cur, avail, wq
 
-        def refill(p, _):
-            blk = words_ref[pl.ds(p * SLAB, SLAB), :]
-            nl = nl_s[0, :][None, :]
-            m = (nl == p) & (wqs_s[0, :][None, :] + i32(1) >= nl)
-            slot = (p % 2) * SLAB
-            old = ring_s[pl.ds(slot, SLAB), :]
-            ring_s[pl.ds(slot, SLAB), :] = jnp.where(m, blk, old)
-            nl_s[0, :] = jnp.where(m[0, :], p + i32(1), nl_s[0, :])
-            return 0
+        ring_rows = jax.lax.broadcasted_iota(i32, (RING_SLABS * SLAB, LANES), 0)
+
+        def refill_sweep(cursor_slab):
+            # Statically-unrolled GROUP walk (4 slabs = one full ring image
+            # per group): no dynamic VMEM addressing anywhere.  A lane
+            # loads every slab in [nl, cursor + RING_SLABS) — overwriting
+            # only ring slots whose old slab is already consumed (slab - 4
+            # < cursor).  Groups outside the scalar span are skipped.
+            want_hi = cursor_slab + i32(RING_SLABS)  # exclusive
+            smin_s[0, 0] = jnp.min(nl_s[0, :])
+            smax_s[0, 0] = jnp.max(want_hi)
+            n_groups = n_slabs // RING_SLABS
+            for g in range(1, n_groups):
+                gstart, gend = g * RING_SLABS, (g + 1) * RING_SLABS
+
+                @pl.when((smin_s[0, 0] < gend) & (smax_s[0, 0] > gstart))
+                def _(g=g, gstart=gstart, gend=gend):
+                    nl = nl_s[0, :][None, :]
+                    slab_row = i32(gstart) + (ring_rows >> i32(5))
+                    m = (slab_row >= nl) & (slab_row < want_hi)
+                    blk = words_ref[
+                        g * RING_SLABS * SLAB : (g + 1) * RING_SLABS * SLAB, :
+                    ]
+                    ring_s[:, :] = jnp.where(m, blk, ring_s[:, :])
+                    hit = (nl < gend) & (want_hi > gstart)
+                    new_nl = jnp.maximum(nl, jnp.minimum(want_hi, i32(gend)))
+                    nl_s[0, :] = jnp.where(hit, new_nl, nl)[0, :]
 
         def epoch(e, carry):
             carry = jax.lax.fori_loop(
@@ -185,17 +206,11 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int):
             # Store this epoch's symbols (one 32-row uint8 block).
             out_ref[pl.ds(e * EPOCH, EPOCH), :] = stage_s[:, :].astype(jnp.uint8)
 
-            # Batched slab refill: a lane needs its next slab when its
-            # read cursor's slab + 1 reaches the next-to-load index.
-            wq = carry[5]
-            wqs_s[0, :] = wq[0, :] >> i32(5)
-            nl = nl_s[0, :][None, :]
-            need = (wq >> i32(5)) + i32(1) >= nl
-            pmin_s[0, 0] = jnp.min(jnp.where(need, nl, i32(0x7FFFFFF)))
-            pmax_s[0, 0] = jnp.max(jnp.where(need, nl, i32(-1)))
-            jax.lax.fori_loop(
-                pmin_s[0, 0], jnp.minimum(pmax_s[0, 0] + 1, n_slabs), refill, 0
-            )
+            # Refill every second epoch: 64 steps consume < 2 slabs, and
+            # the sweep tops lanes back up to RING_SLABS resident slabs.
+            @pl.when((e & 1) == 1)
+            def _():
+                refill_sweep(carry[5] >> i32(5))
             return carry
 
         # Prime: z = first code_bits bits (codec.rs:124-127).
@@ -243,14 +258,54 @@ def _decode_pallas_jit(words_t, lens, init_col, params: Parameters, k: int, delt
         out_shape=jax.ShapeDtypeStruct((k_pad, b), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((S_PAD, LANES), i32),  # cdf
-            pltpu.VMEM((2 * SLAB, LANES), u32),  # stream ring
+            pltpu.VMEM((RING_SLABS * SLAB, LANES), u32),  # stream ring
             pltpu.VMEM((EPOCH, LANES), i32),  # symbol stage
             pltpu.VMEM((1, LANES), i32),  # next-load slab index
-            pltpu.VMEM((1, LANES), i32),  # read-cursor slab snapshot
             pltpu.SMEM((1, 1), i32),  # refill span lo
             pltpu.SMEM((1, 1), i32),  # refill span hi
         ],
     )(init_col, lens, words_t)
+
+
+def pad_geometry(wn: int, b: int):
+    """(wn_pad, b_pad) for the kernel: >= 3 zero words past any stream
+    (the decoder legitimately reads up to code_bits + pending_bound bits
+    past the terminator), group-aligned for the refill sweep, lane-tile
+    aligned."""
+    grp = RING_SLABS * SLAB
+    wn_pad = ((max(wn + 3, grp) + grp - 1) // grp) * grp
+    b_pad = ((b + LANES - 1) // LANES) * LANES
+    return wn_pad, b_pad
+
+
+def init_cum_column(init_cum, params: Parameters):
+    """(S_PAD, 1) int32 kernel model-init input (freq_max padding rows)."""
+    return np.pad(
+        np.asarray(init_cum, dtype=np.int32),
+        (0, S_PAD - int(np.asarray(init_cum).shape[0])),
+        constant_values=np.int32(params.freq_max),
+    ).reshape(S_PAD, 1)
+
+
+def decode_blocks_pallas_t(
+    words_t, lens_row, init_col, params: Parameters, k: int, delta: int = 1
+):
+    """Transposed-layout entry: zero device-side re-layouts.
+
+    Args:
+      words_t: ``(wn_pad, b_pad)`` uint32, lane-minor (see
+        :func:`pad_geometry`; build on host to skip the device
+        transpose — byte-granular relayouts are slow on TPU).
+      lens_row: ``(1, b_pad)`` int32 symbol counts (0 for pad lanes).
+      init_col: ``(S_PAD, 1)`` int32 from :func:`init_cum_column`.
+
+    Returns ``(k_pad, b_pad)`` uint8 — symbol-position-major; callers
+    slice/transpose on host.
+    """
+    if not (params.fits_u32 or params.fits_wide32):
+        raise ValueError("pallas decoder requires fits_u32 or fits_wide32 params")
+    with jax.enable_x64(False):
+        return _decode_pallas_jit(words_t, lens_row, init_col, params, k, int(delta))
 
 
 def decode_blocks_pallas(words, lens, init_cum, params: Parameters, k: int, delta: int = 1):
@@ -265,24 +320,17 @@ def decode_blocks_pallas(words, lens, init_cum, params: Parameters, k: int, delt
         production TPU configs do).
       k: max symbols per block (static).
 
-    Returns ``(B, k)`` uint8 decoded symbols.
+    Returns ``(B, k)`` uint8 decoded symbols.  Convenience form (device
+    transposes); the api hot path uses :func:`decode_blocks_pallas_t`.
     """
     if not (params.fits_u32 or params.fits_wide32):
         raise ValueError("pallas decoder requires fits_u32 or fits_wide32 params")
     b, wn = words.shape
-    b_pad = ((b + LANES - 1) // LANES) * LANES
-    # >= 3 zero words past any stream (the decoder legitimately reads up
-    # to code_bits + pending_bound bits past the terminator), >= 2 slabs
-    # for the ring init, slab-aligned for the block refills.
-    wn_pad = ((max(wn + 3, 2 * SLAB) + SLAB - 1) // SLAB) * SLAB
+    wn_pad, b_pad = pad_geometry(wn, b)
     with jax.enable_x64(False):
         words = jnp.pad(words.astype(jnp.uint32), ((0, b_pad - b), (0, wn_pad - wn)))
         words_t = words.T  # (Wn, B): lanes on the 128-wide axis
         lens_p = jnp.pad(lens.astype(jnp.int32), (0, b_pad - b)).reshape(1, b_pad)
-        init_col = jnp.pad(
-            init_cum.astype(jnp.int32),
-            (0, S_PAD - int(init_cum.shape[0])),
-            constant_values=np.int32(params.freq_max),
-        ).reshape(S_PAD, 1)
+        init_col = jnp.asarray(init_cum_column(np.asarray(init_cum), params))
         out = _decode_pallas_jit(words_t, lens_p, init_col, params, k, int(delta))
         return out[:k, :b].T  # (B, k) uint8

@@ -58,7 +58,7 @@ def _encode_kernel(params: Parameters, k: int, n_words: int, n_epochs: int):
     quarter = params.code_one_fourth
 
     def kernel(lens_ref, lo_ref, hi_ref, tot_ref, out_ref, blen_ref, ovf_ref,
-               st_s, ring_s, nw_s, nd_s, acc_s, iv_s, pmin_s, pmax_s):
+               st_s, ring_s, nw_s, nd_s, acc_s, iv_s):
         e = pl.program_id(1)
         lens = lens_ref[0, :][None, :]
 
@@ -220,26 +220,22 @@ def _encode_kernel(params: Parameters, k: int, n_words: int, n_epochs: int):
         nw_s[0, :] = (nw0 + c_tot)[0, :]
 
         def run_dumps(full_tail):
-            nd = nd_s[0, :][None, :]
+            # Statically-unrolled slab sweep (dynamically-addressed VMEM
+            # block accesses stall ~1.4 us each on v5e; static slices
+            # predicated by pl.when(any lane dumps this slab) cost two
+            # vector ops when skipped).
             limit = (nw_s[0, :][None, :] + (i32(31) if full_tail else i32(0))) >> i32(5)
-            need = nd < limit
-            pmin_s[0, 0] = jnp.min(jnp.where(need, nd, i32(0x7FFFFFF)))
-            pmax_s[0, 0] = jnp.max(jnp.where(need, limit, i32(0)))
-            cap = n_words // SLAB
+            for p in range(n_words // SLAB):
+                m = (nd_s[0, :][None, :] == p) & (p < limit)
 
-            def dump_p(p, _):
-                ndv = nd_s[0, :][None, :]
-                m = (ndv == p) & (p < limit)
-                slot = (p % (RING // SLAB)) * SLAB
-                blk = ring_s[pl.ds(slot, SLAB), :]
-                old = out_ref[pl.ds(p * SLAB, SLAB), :]
-                out_ref[pl.ds(p * SLAB, SLAB), :] = jnp.where(m, blk, old)
-                nd_s[0, :] = jnp.where(m[0, :], p + i32(1), nd_s[0, :])
-                return 0
-
-            jax.lax.fori_loop(
-                pmin_s[0, 0], jnp.minimum(pmax_s[0, 0], cap), dump_p, 0
-            )
+                @pl.when(jnp.any(m))
+                def _(p=p, m=m):
+                    slot = (p % (RING // SLAB)) * SLAB
+                    blk = ring_s[slot : slot + SLAB, :]
+                    out_ref[p * SLAB : (p + 1) * SLAB, :] = jnp.where(
+                        m, blk, out_ref[p * SLAB : (p + 1) * SLAB, :]
+                    )
+                    nd_s[0, :] = jnp.where(m[0, :], p + i32(1), nd_s[0, :])
 
         run_dumps(False)
 
@@ -300,8 +296,6 @@ def _encode_pallas_jit(lo_t, hi_t, tot_t, lens, params: Parameters, n_words: int
             pltpu.VMEM((1, LANES), i32),  # nd
             pltpu.VMEM((4, LANES), u32),  # acc a0..a2 + accbits
             pltpu.VMEM((4, LANES), u32),  # low, high, pending, ovf
-            pltpu.SMEM((1, 1), i32),
-            pltpu.SMEM((1, 1), i32),
         ],
     )(lens, lo_t, hi_t, tot_t)
     return out, blen, ovf

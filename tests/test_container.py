@@ -106,3 +106,17 @@ def test_raw_blocks_mixed_with_coded():
     header, _ = container.parse_archive(arch)
     assert any(header.block_raw) and not all(header.block_raw)
     assert api.decode(arch) == data
+
+
+def test_api_pallas_branch_roundtrip(monkeypatch):
+    """The api's Pallas branch (TPU hot path) via interpreter mode on CPU:
+    host-transposed words, lane sorting, raw splice, crc — all exercised."""
+    monkeypatch.setenv("REDUX_TPU_FORCE_PALLAS", "1")
+    rng = np.random.default_rng(11)
+    data = (
+        corpus_file("calgary", "paper5").read_bytes()[:6000]
+        + rng.integers(0, 256, 3000, dtype=np.uint8).tobytes()  # raw block mix
+        + b"tail" * 700
+    )
+    arch = api.encode(data, block_size=2048)
+    assert api.decode(arch) == data
