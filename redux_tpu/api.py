@@ -24,6 +24,7 @@ from __future__ import annotations
 import math
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -109,7 +110,7 @@ def _use_pallas(params: Parameters) -> bool:
         return False
     try:
         return jax.default_backend() != "cpu"
-    except Exception:  # pragma: no cover - backend init failure
+    except RuntimeError:  # pragma: no cover - backend init failure
         return False
 
 

@@ -35,7 +35,16 @@ def _sync(*arrays) -> None:
         np.asarray(jax.device_get(jnp.sum(jnp.ravel(a)[:1].astype(jnp.int32))))
 
 
-def run_device_benchmark(data: bytes, block_size: int = BLOCK_SIZE, iters: int = 3):
+def run_device_benchmark(data: bytes, block_size: int = BLOCK_SIZE, iters: int = 3,
+                         verbose: bool = False):
+    import sys
+
+    def vlog(msg):
+        if verbose:
+            print(f"[bench +{time.perf_counter() - _t_start:.1f}s] {msg}",
+                  file=sys.stderr, flush=True)
+
+    _t_start = time.perf_counter()
     params = Parameters.tpu_wide()
     use_pallas = api._use_pallas(params)
 
@@ -74,13 +83,16 @@ def run_device_benchmark(data: bytes, block_size: int = BLOCK_SIZE, iters: int =
             )
             return encode_blocks_v2(lo, hi, tot, lens, params, n_words)
 
+    vlog("encode warmup start")
     words, byte_lens, ovf = encode_step()
     _sync(words, byte_lens, ovf)
+    vlog("encode warmup done")
     t0 = time.perf_counter()
     for _ in range(iters):
         words, byte_lens, ovf = encode_step()
     _sync(words, byte_lens, ovf)
     t_enc = (time.perf_counter() - t0) / iters
+    vlog(f"encode timed: {t_enc*1e3:.1f} ms/iter")
 
     # Decode input: the device-resident stream matrix (transposed layout
     # for the Pallas path — what api.decode stages host-side).
@@ -111,8 +123,10 @@ def run_device_benchmark(data: bytes, block_size: int = BLOCK_SIZE, iters: int =
         def decode_step():
             return decode_blocks(words, lens, icj, params, k, delta=DELTA)
 
+    vlog("decode warmup start")
     decoded = decode_step()
     _sync(decoded)
+    vlog("decode warmup done")
     t0 = time.perf_counter()
     for _ in range(iters):
         decoded = decode_step()
@@ -130,6 +144,7 @@ def run_device_benchmark(data: bytes, block_size: int = BLOCK_SIZE, iters: int =
     verified = bool(got.reshape(-1)[: len(data)].tobytes() == data)
 
     # Wire size from the real container (host, untimed) + e2e wall times.
+    vlog("e2e api.encode start")
     t0 = time.perf_counter()
     archive = api.encode(data, params=params, block_size=block_size, delta=DELTA)
     t_enc_e2e = time.perf_counter() - t0

@@ -120,3 +120,19 @@ def test_api_pallas_branch_roundtrip(monkeypatch):
     )
     arch = api.encode(data, block_size=2048)
     assert api.decode(arch) == data
+
+
+def test_use_pallas_on_tpu_backend(monkeypatch):
+    """Regression: _use_pallas must return True on a non-cpu backend.
+
+    Round 2 shipped with `jax` unbound in api.py, so the broad except
+    swallowed a NameError and silently disabled the Pallas kernels on
+    TPU; pin the selector's decision with the backend faked."""
+    import jax as _jax
+
+    monkeypatch.delenv("REDUX_TPU_FORCE_PALLAS", raising=False)
+    monkeypatch.delenv("REDUX_TPU_NO_PALLAS", raising=False)
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    assert api._use_pallas(api.Parameters.tpu_wide()) is True
+    monkeypatch.setattr(_jax, "default_backend", lambda: "cpu")
+    assert api._use_pallas(api.Parameters.tpu_wide()) is False
