@@ -159,10 +159,6 @@ def encode(
 
     syms, lens, n_blocks = _split_blocks(data, block_size)
     k = syms.shape[1]
-    lo, hi, tot, _el, _eh, _et = precompute_encode_model(
-        jnp.asarray(syms), jnp.asarray(lens), jnp.asarray(ic), params.freq_max,
-        delta=delta,
-    )
     # Per-lane output capacity: any block whose coded stream reaches its
     # raw size is stored uncompressed (container RAW_BIT), so the buffer
     # never needs the adversarial code_bits-per-symbol bound — this also
@@ -170,12 +166,17 @@ def encode(
     n_words = min(_static_words(params, k, delta), k // 4 + 16)
     lens_j = jnp.asarray(lens)
     if _use_pallas(params):
-        from .ops.pallas_encode import encode_blocks_pallas
+        # Model-in-kernel path: no rank precompute, no lo/hi/tot streams.
+        from .ops.pallas_encode import encode_blocks_pallas_m
 
-        words, byte_lens, ovf = encode_blocks_pallas(
-            lo, hi, tot, lens_j, params, n_words
+        words, byte_lens, ovf = encode_blocks_pallas_m(
+            jnp.asarray(syms), lens_j, jnp.asarray(ic), params, n_words, delta
         )
     else:
+        lo, hi, tot, _el, _eh, _et = precompute_encode_model(
+            jnp.asarray(syms), lens_j, jnp.asarray(ic), params.freq_max,
+            delta=delta,
+        )
         words, byte_lens, ovf = encode_blocks_v2(lo, hi, tot, lens_j, params, n_words)
     byte_lens = np.asarray(byte_lens)
     ovf = np.asarray(ovf)

@@ -67,13 +67,10 @@ def run_device_benchmark(data: bytes, block_size: int = BLOCK_SIZE, iters: int =
 
     if use_pallas:
         from .ops.pallas_decode import decode_blocks_pallas_t, init_cum_column, pad_geometry
-        from .ops.pallas_encode import encode_blocks_pallas
+        from .ops.pallas_encode import encode_blocks_pallas_m
 
         def encode_step():
-            lo, hi, tot, _, _, _ = precompute_encode_model(
-                syms, lens, icj, params.freq_max, delta=DELTA
-            )
-            return encode_blocks_pallas(lo, hi, tot, lens, params, n_words)
+            return encode_blocks_pallas_m(syms, lens, icj, params, n_words, DELTA)
     else:
         from .ops.coder import encode_blocks_v2
 

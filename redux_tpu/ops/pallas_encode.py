@@ -46,6 +46,7 @@ LANES = 128
 EPOCH = 32  # symbols per grid step
 RING = 128  # ring rows (4 output slabs); epoch flushes < 96 words
 SLAB = 32
+S_PAD = 264  # model rows incl. padding (258 live), multiple of 8
 
 i32 = jnp.int32
 u32 = jnp.uint32
@@ -327,4 +328,303 @@ def encode_blocks_pallas(lo, hi, tot, lens, params: Parameters, n_words: int):
                          constant_values=-1).reshape(1, b_pad)
         nw_pad = ((n_words + SLAB - 1) // SLAB) * SLAB
         words_t, blen, ovf = _encode_pallas_jit(lo_t, hi_t, tot_t, lens_p, params, nw_pad)
+        return words_t.T[:b, :n_words], blen[0, :b], ovf[0, :b].astype(bool)
+
+
+def _encode_kernel_m(params: Parameters, n_words: int, n_epochs: int, delta: int):
+    """Model-in-kernel variant: the dense cumulative row lives in VMEM.
+
+    Replaces the rank-precompute inputs (lo/hi/tot streamed from HBM —
+    measured 1.1 s on the 9.7 MB corpus, the encode bottleneck) with the
+    decoder's incremental model: per symbol, ``cdf[v]``/``cdf[v+1]`` fall
+    out of two masked maxes over the row (the row is non-decreasing so
+    ``cdf[v] = max_{i<=v} cdf[i]``), the total is a static row read, and
+    the adaptation is a masked suffix add (adaptive_linear.rs:33-39).
+    The dump sweep is gated by SMEM scalar bounds (min undumped / max
+    completed slab across the tile) so out-of-span slabs cost a scalar
+    compare instead of a vector reduction.
+    """
+    cb = params.code_bits
+    cmax = params.code_max
+    half = params.code_half
+    quarter = params.code_one_fourth
+    S = params.symbol_count  # 257: row S of the cdf is the running total
+    freq_max = params.freq_max
+
+    def kernel(lens_ref, init_ref, syms_ref, out_ref, blen_ref, ovf_ref,
+               cdf_s, st_s, ring_s, nw_s, nd_s, acc_s, iv_s, smin_s, smax_s):
+        e = pl.program_id(1)
+        lens = lens_ref[0, :][None, :]
+
+        @pl.when(e == 0)
+        def _init():
+            cdf_s[:, :] = init_ref[:, :] + jnp.zeros((S_PAD, LANES), i32)
+            iv_s[0, :] = jnp.zeros((LANES,), u32) + u32(params.code_min)
+            iv_s[1, :] = jnp.zeros((LANES,), u32) + u32(cmax)
+            iv_s[2, :] = jnp.zeros((LANES,), u32)
+            iv_s[3, :] = jnp.zeros((LANES,), u32)
+            acc_s[0, :] = jnp.zeros((LANES,), u32)
+            acc_s[1, :] = jnp.zeros((LANES,), u32)
+            acc_s[2, :] = jnp.zeros((LANES,), u32)
+            acc_s[3, :] = jnp.zeros((LANES,), u32)
+            nw_s[0, :] = jnp.zeros((LANES,), i32)
+            nd_s[0, :] = jnp.zeros((LANES,), i32)
+            ring_s[:, :] = jnp.zeros((RING, LANES), u32)
+
+        rows = jax.lax.broadcasted_iota(i32, (S_PAD, LANES), 0)
+
+        def step(ii, carry):
+            low, high, pending, a0, a1, a2, accbits, ovf, cnt = carry
+            t = e * EPOCH + ii
+            active = t < lens
+            is_term = t == lens
+
+            sv = syms_ref[pl.ds(ii, 1), :]  # (1, LANES) int32
+            cdf = cdf_s[:, :]
+            flo = jnp.max(jnp.where(rows <= sv, cdf, i32(0)), axis=0)[None, :].astype(u32)
+            fhi = jnp.max(
+                jnp.where(rows <= sv + i32(1), cdf, i32(0)), axis=0
+            )[None, :].astype(u32)
+            tot = cdf[S, :][None, :]
+            count = jnp.where(active, tot, i32(1)).astype(u32)
+            upd = active & (tot < i32(freq_max))
+            cdf_s[:, :] = cdf + jnp.where((rows > sv) & upd, i32(delta), i32(0))
+
+            # Interval narrowing (codec.rs:58-60) — exact wide arithmetic.
+            rngv = high - low + u32(1)
+            nlow = low + wide32.muldiv(rngv, flo, count)
+            nhigh = low + wide32.muldiv(rngv, fhi, count) - u32(1)
+            low = jnp.where(active, nlow, low)
+            high = jnp.where(active, nhigh, high)
+
+            # Closed-form renorm counts.
+            n1 = jnp.where(active, jax.lax.clz(low ^ high).astype(i32) - i32(32 - cb), i32(0))
+            n1w = n1.astype(u32)
+            low1 = jnp.where(active, (low << n1w) & u32(cmax), low)
+            high1 = jnp.where(
+                active, ((high << n1w) | ((u32(1) << n1w) - u32(1))) & u32(cmax), high
+            )
+            aa = jax.lax.clz(~(low1 << u32(32 - cb + 1))).astype(i32)
+            bbq = jax.lax.clz(high1 << u32(32 - cb + 1)).astype(i32)
+            n3 = jnp.where(active, jnp.minimum(jnp.minimum(aa, bbq), i32(cb - 1)), i32(0))
+            n3w = n3.astype(u32)
+            low2 = jnp.where(active, (low1 << n3w) & u32(cmax >> 1), low1)
+            high2 = jnp.where(
+                active,
+                (((high1 << n3w) | ((u32(1) << n3w) - u32(1))) & u32(cmax >> 1)) | u32(half),
+                high1,
+            )
+
+            # Emission piece: [b1][pending opposite][rest] (codec.rs:39-46),
+            # or the 2-bit v2 terminator at t == lens.
+            emit = active & (n1 > 0)
+            prefix = jnp.where(emit, low >> (u32(cb) - n1w), u32(0))
+            b1 = prefix >> jnp.maximum(n1 - 1, 0).astype(u32)
+            rest = prefix & ((u32(1) << jnp.maximum(n1 - 1, 0).astype(u32)) - u32(1))
+            rest_len = jnp.maximum(n1 - 1, 0)
+            tq = (low + u32(quarter) - u32(1)) >> u32(cb - 2)
+            b1 = jnp.where(is_term, tq >> u32(1), b1)
+            rest = jnp.where(is_term, tq & u32(1), rest)
+            rest_len = jnp.where(is_term, i32(1), rest_len)
+            emit = emit | is_term
+
+            pend_i = pending.astype(i32)
+            m1 = jnp.where(emit, rest_len + 1 + pend_i, 0)
+            ovf = ovf | (m1 > 64).astype(u32)
+            m1 = jnp.minimum(m1, 64)
+            phi, plo = _piece64(b1, pend_i, rest, rest_len)
+            lhi, llo = _leftalign64(phi, plo, m1)
+            a0n, a1n, a2n = _append96(a0, a1, a2, accbits.astype(i32), lhi, llo)
+            a0 = jnp.where(emit, a0n, a0)
+            a1 = jnp.where(emit, a1n, a1)
+            a2 = jnp.where(emit, a2n, a2)
+            accbits = accbits + m1.astype(u32)
+            pending = (jnp.where(emit, 0, pend_i) + n3).astype(u32)
+
+            # Flush up to two completed words into the dense stage.
+            f1 = accbits >= u32(32)
+            w0 = jnp.where(f1, a0, u32(0))
+            a0 = jnp.where(f1, a1, a0)
+            a1 = jnp.where(f1, a2, a1)
+            a2 = jnp.where(f1, u32(0), a2)
+            accbits = jnp.where(f1, accbits - u32(32), accbits)
+            f2 = accbits >= u32(32)
+            w1 = jnp.where(f2, a0, u32(0))
+            a0 = jnp.where(f2, a1, a0)
+            a1 = jnp.where(f2, a2, a1)
+            a2 = jnp.where(f2, u32(0), a2)
+            accbits = jnp.where(f2, accbits - u32(32), accbits)
+            disp = (i32(2) * ii - cnt).astype(u32)
+            st_s[pl.ds(2 * ii, 1), :] = w0
+            st_s[pl.ds(2 * ii + 1, 1), :] = w1
+            st_s[pl.ds(64 + 2 * ii, 1), :] = jnp.where(f1, disp, u32(0))
+            st_s[pl.ds(64 + 2 * ii + 1, 1), :] = jnp.where(f2, disp, u32(0))
+            st_s[pl.ds(128 + 2 * ii, 1), :] = f1.astype(u32)
+            st_s[pl.ds(128 + 2 * ii + 1, 1), :] = f2.astype(u32)
+            cnt = cnt + f1.astype(i32) + f2.astype(i32)
+
+            return low2, high2, pending, a0, a1, a2, accbits, ovf, cnt
+
+        carry = (
+            iv_s[0, :][None, :], iv_s[1, :][None, :], iv_s[2, :][None, :],
+            acc_s[0, :][None, :], acc_s[1, :][None, :], acc_s[2, :][None, :],
+            acc_s[3, :][None, :], iv_s[3, :][None, :],
+            jnp.zeros((1, LANES), i32),
+        )
+        carry = jax.lax.fori_loop(0, EPOCH, step, carry)
+        low, high, pending, a0, a1, a2, accbits, ovf, cnt = carry
+        iv_s[0, :] = low[0, :]
+        iv_s[1, :] = high[0, :]
+        iv_s[2, :] = pending[0, :]
+        iv_s[3, :] = ovf[0, :]
+        acc_s[0, :] = a0[0, :]
+        acc_s[1, :] = a1[0, :]
+        acc_s[2, :] = a2[0, :]
+        acc_s[3, :] = accbits[0, :]
+
+        # ---- epoch epilogue: compact → rotate → merge → dump ------------
+        rows64 = jax.lax.broadcasted_iota(i32, (2 * EPOCH, LANES), 0)
+        c_tot = cnt
+        val = st_s[0 : 2 * EPOCH, :]
+        delta_c = st_s[64 : 64 + 2 * EPOCH, :].astype(i32)
+        valid = st_s[128 : 128 + 2 * EPOCH, :] != u32(0)
+
+        def shift_up(a, n, fill):
+            rolled = pltpu.roll(a, 2 * EPOCH - n, axis=0)
+            keep = rows64 < i32(2 * EPOCH - n)
+            return jnp.where(keep, rolled, fill)
+
+        for jph in range(6):  # log2(64) monotone-shift compaction phases
+            sh = 1 << jph
+            move = valid & (((delta_c >> jph) & 1) == 1)
+            m_in = shift_up(move.astype(i32), sh, i32(0)) != 0
+            val = jnp.where(m_in, shift_up(val, sh, u32(0)), val)
+            delta_c = jnp.where(m_in, shift_up(delta_c, sh, i32(0)), delta_c)
+            valid = m_in | (valid & ~move)
+
+        # Rotate compacted words to ring offset nw (mod RING) per lane.
+        rot = jnp.concatenate([val, jnp.zeros((RING - 2 * EPOCH, LANES), u32)], axis=0)
+        nw0 = nw_s[0, :][None, :]
+        for kph in range(7):  # log2(RING) conditional roll phases
+            sh = 1 << kph
+            cond = ((nw0 >> kph) & 1) == 1
+            rot = jnp.where(cond, pltpu.roll(rot, sh, axis=0), rot)
+        ringrows = jax.lax.broadcasted_iota(i32, (RING, LANES), 0)
+        tgt = (ringrows - nw0) & i32(RING - 1)
+        write = tgt < c_tot
+        ring_s[:, :] = jnp.where(write, rot, ring_s[:, :])
+        nw_s[0, :] = (nw0 + c_tot)[0, :]
+
+        def run_dumps(full_tail):
+            # SMEM-gated statically-unrolled slab sweep: slabs outside the
+            # tile-wide [min undumped, max completed) span cost one scalar
+            # compare; in-span slabs with no dumping lane cost one vector
+            # any-reduction.
+            limit = (nw_s[0, :][None, :] + (i32(31) if full_tail else i32(0))) >> i32(5)
+            smin_s[0, 0] = jnp.min(nd_s[0, :])
+            smax_s[0, 0] = jnp.max(limit[0, :])
+            for p in range(n_words // SLAB):
+
+                @pl.when((smin_s[0, 0] <= p) & (p < smax_s[0, 0]))
+                def _(p=p, limit=limit):
+                    m = (nd_s[0, :][None, :] == p) & (p < limit)
+
+                    @pl.when(jnp.any(m))
+                    def _(p=p, m=m):
+                        slot = (p % (RING // SLAB)) * SLAB
+                        blk = ring_s[slot : slot + SLAB, :]
+                        out_ref[p * SLAB : (p + 1) * SLAB, :] = jnp.where(
+                            m, blk, out_ref[p * SLAB : (p + 1) * SLAB, :]
+                        )
+                        nd_s[0, :] = jnp.where(m[0, :], p + i32(1), nd_s[0, :])
+
+        run_dumps(False)
+
+        @pl.when(e == n_epochs - 1)
+        def _finish():
+            accb = acc_s[3, :][None, :]
+            a0v = acc_s[0, :][None, :]
+            nw0f = nw_s[0, :][None, :]
+            has_tail = accb > u32(0)
+            tgtrow = nw0f & i32(RING - 1)
+            m = (ringrows == tgtrow) & has_tail
+            ring_s[:, :] = jnp.where(m, a0v, ring_s[:, :])
+            nw_s[0, :] = (nw0f + has_tail.astype(i32))[0, :]
+            bits = nw0f.astype(i32) * i32(32) + accb.astype(i32)
+            blen_ref[0, :] = ((bits + i32(7)) >> i32(3))[0, :]
+            ovf_ref[0, :] = iv_s[3, :].astype(i32)
+            run_dumps(True)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("params", "n_words", "delta"))
+def _encode_pallas_m_jit(syms_t, lens, init_col, params: Parameters, n_words: int,
+                         delta: int):
+    k_pad, b = syms_t.shape
+    n_tiles = b // LANES
+    n_epochs = k_pad // EPOCH
+    kernel = _encode_kernel_m(params, n_words, n_epochs, delta)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_epochs),
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec((1, LANES), lambda i, e: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_PAD, 1), lambda i, e: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((EPOCH, LANES), lambda i, e: (e, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n_words, LANES), lambda i, e: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i, e: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i, e: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_words, b), jnp.uint32),
+            jax.ShapeDtypeStruct((1, b), jnp.int32),
+            jax.ShapeDtypeStruct((1, b), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((S_PAD, LANES), i32),  # cdf
+            pltpu.VMEM((192, LANES), u32),  # stage
+            pltpu.VMEM((RING, LANES), u32),  # ring
+            pltpu.VMEM((1, LANES), i32),  # nw
+            pltpu.VMEM((1, LANES), i32),  # nd
+            pltpu.VMEM((4, LANES), u32),  # acc
+            pltpu.VMEM((4, LANES), u32),  # low, high, pending, ovf
+            pltpu.SMEM((1, 1), i32),  # dump span lo
+            pltpu.SMEM((1, 1), i32),  # dump span hi
+        ],
+    )(lens, init_col, syms_t)
+
+
+def encode_blocks_pallas_m(syms, lens, init_cum, params: Parameters, n_words: int,
+                           delta: int = 1):
+    """Model-in-kernel encoder: drop-in for rank precompute + kernel.
+
+    Args: ``(B, K)`` uint8/int32 symbols, ``(B,)`` lens, the initial
+    cumulative row ``(symbol_count + 1,)``.  Returns the same triple as
+    :func:`encode_blocks_pallas`, bit-identical streams.
+    """
+    if not (params.fits_u32 or params.fits_wide32):
+        raise ValueError("pallas encoder requires fits_u32 or fits_wide32 params")
+    import numpy as np
+
+    from .pallas_decode import init_cum_column
+
+    b, k = syms.shape
+    b_pad = ((b + LANES - 1) // LANES) * LANES
+    k_pad = ((k + 1 + EPOCH - 1) // EPOCH) * EPOCH
+    nw_pad = ((n_words + SLAB - 1) // SLAB) * SLAB
+    with jax.enable_x64(False):
+        syms_t = jnp.pad(
+            syms.astype(jnp.int32), ((0, b_pad - b), (0, k_pad - k))
+        ).T  # (K_pad, B)
+        lens_p = jnp.pad(lens.astype(jnp.int32), (0, b_pad - b),
+                         constant_values=-1).reshape(1, b_pad)
+        init_col = jnp.asarray(init_cum_column(np.asarray(init_cum), params))
+        words_t, blen, ovf = _encode_pallas_m_jit(
+            syms_t, lens_p, init_col, params, nw_pad, int(delta)
+        )
         return words_t.T[:b, :n_words], blen[0, :b], ovf[0, :b].astype(bool)
