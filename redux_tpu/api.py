@@ -50,14 +50,16 @@ from .params import Parameters
 def _pad_lanes(n: int) -> int:
     """Round the lane count up to limit jit recompilation across inputs.
 
-    Multiples of 256 keep the lane (minor) dimension aligned to the VPU's
-    128-wide registers with at most ~10% padding waste for large inputs
-    (a power-of-two policy wastes up to 2x); tiny inputs snap to powers
-    of two so the smallest shapes stay cache-friendly across calls.
+    Multiples of 128 (one Pallas lane tile) keep the minor dimension
+    aligned to the VPU's 128-wide registers with at most one wasted tile
+    — the kernels' cost is linear in tiles, so a 256-multiple policy
+    cost up to 33% extra wall time (e.g. 297 blocks -> 512 lanes).  Tiny
+    inputs snap to powers of two so the smallest shapes stay
+    cache-friendly across calls.
     """
-    if n <= 256:
+    if n <= 128:
         return 1 << max(2, math.ceil(math.log2(max(n, 1))))
-    return ((n + 255) // 256) * 256
+    return ((n + 127) // 128) * 128
 
 
 def _static_words(params: Parameters, k: int, delta: int = DEFAULT_DELTA) -> int:
