@@ -112,7 +112,7 @@ def _use_pallas(params: Parameters) -> bool:
         return False
     try:
         return jax.default_backend() != "cpu"
-    except RuntimeError:  # pragma: no cover - backend init failure
+    except (RuntimeError, OSError):  # pragma: no cover - backend/plugin init failure
         return False
 
 

@@ -63,14 +63,22 @@ LANES = 128
 EPOCH = 32  # symbols per inner loop
 SLAB = 32  # words per stream slab
 RING_SLABS = 4  # resident slabs per lane; refill every 2 epochs
-S_PAD = 264  # model rows incl. padding (258 live), multiple of 8
+S_PAD = 288  # model rows incl. padding (258 live), multiple of 32 (sweep chunks)
+SWEEP = 32  # cdf rows per fused sweep chunk (4 vregs)
 
 i32 = jnp.int32
 u32 = jnp.uint32
 
 
-def _decode_kernel(params: Parameters, k: int, delta: int, wn: int):
-    """Kernel body for static (params, k, delta, words-per-lane)."""
+def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
+                   unroll: bool = True):
+    """Kernel body for static (params, k, delta, words-per-lane).
+
+    ``unroll`` statically unrolls the per-epoch symbol loop (static VMEM
+    stage addressing — dynamic addressing stalls on v5e).  Interpret-mode
+    callers pass False: the 32x bigger body makes XLA CPU compiles blow
+    up, and the rolled ``fori_loop`` runs the identical step function.
+    """
     cb = params.code_bits
     S = params.symbol_count  # 257: row S of the cdf is the running total
     freq_max = params.freq_max
@@ -127,23 +135,28 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int):
             val = jnp.where(need, (v1 << m2c) | v2, v1)
             return val, (cur, avail, wq)
 
-        def step(t, carry):
-            low, high, z, cur, avail, wq = carry
+        def step(t, stage_row, carry):
+            low, high, z, cur, avail, wq, count_i = carry
             active = t < lens
 
             cdf = cdf_s[:, :]
             rngv = high - low + u32(1)
-            count = cdf[S, :][None, :].astype(u32)
+            count = count_i.astype(u32)
             # value = ((z+1)*count - 1) // rng  (codec.rs:131, z = pending-low)
             value = wide32.muldiv_sub1(z + u32(1), count, rngv)
             # min via i32 (Mosaic lacks unsigned min); both < 2**20.
-            value = jnp.minimum(value.astype(i32), (count - u32(1)).astype(i32))
+            value = jnp.minimum(value.astype(i32), count_i - i32(1))
             b = cdf <= value
             sym = jnp.sum(b.astype(i32), axis=0, dtype=i32)[None, :] - i32(1)
             flo = jnp.max(jnp.where(b, cdf, i32(0)), axis=0)[None, :].astype(u32)
             fhi = jnp.min(jnp.where(b, i32(freq_max), cdf), axis=0)[None, :].astype(u32)
-            upd = active & (cdf[S, :][None, :] < i32(freq_max))
-            cdf_s[:, :] = cdf + jnp.where(b | ~upd, i32(0), i32(delta))
+            # Adaptation: +delta above the symbol while not frozen
+            # (adaptive_linear.rs:33-39); the running total rides in a
+            # register instead of re-reading row S every step.
+            upd = active & (count_i < i32(freq_max))
+            delta_v = jnp.where(upd, i32(delta), i32(0))
+            cdf_s[:, :] = cdf + jnp.where(b, i32(0), delta_v)
+            count_i = count_i + delta_v
 
             # Narrow (codec.rs:58-60); z moves with low.
             dlo = wide32.muldiv(rngv, flo, count)
@@ -176,8 +189,8 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int):
             bits, (cur, avail, wq) = read_bits((cur, avail, wq), n)
             z = jnp.where(active, ((z << n.astype(u32)) | bits) & u32(cmax), z)
 
-            stage_s[pl.ds(t % EPOCH, 1), :] = jnp.where(active, sym, i32(0))
-            return low, high, z, cur, avail, wq
+            stage_s[pl.ds(stage_row, 1), :] = jnp.where(active, sym, i32(0))
+            return low, high, z, cur, avail, wq, count_i
 
         ring_rows = jax.lax.broadcasted_iota(i32, (RING_SLABS * SLAB, LANES), 0)
 
@@ -208,9 +221,16 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int):
                     nl_s[0, :] = jnp.where(hit, new_nl, nl)[0, :]
 
         def epoch(e, carry):
-            carry = jax.lax.fori_loop(
-                e * EPOCH, jnp.minimum((e + 1) * EPOCH, k), step, carry
-            )
+            # Steps past k are masked by ``t < lens`` (lens <= k), so the
+            # tail epoch needs no bound.
+            t0 = e * EPOCH
+            if unroll:
+                for ii in range(EPOCH):
+                    carry = step(t0 + ii, ii, carry)
+            else:
+                carry = jax.lax.fori_loop(
+                    0, EPOCH, lambda ii, c: step(t0 + ii, ii, c), carry
+                )
             # Store this epoch's symbols (one 32-row uint8 block).
             out_ref[pl.ds(e * EPOCH, EPOCH), :] = stage_s[:, :].astype(jnp.uint8)
 
@@ -235,6 +255,7 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int):
             cur0,
             avail0,
             wq0,
+            cdf_s[S, :][None, :],  # running total (register copy of row S)
         )
         jax.lax.fori_loop(0, n_epochs, epoch, carry)
 
@@ -246,7 +267,8 @@ def _decode_pallas_jit(words_t, lens, init_col, params: Parameters, k: int, delt
     wn, b = words_t.shape
     n_tiles = b // LANES
     k_pad = ((k + EPOCH - 1) // EPOCH) * EPOCH
-    kernel = _decode_kernel(params, k, delta, wn)
+    interp = jax.default_backend() == "cpu"
+    kernel = _decode_kernel(params, k, delta, wn, unroll=not interp)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -258,7 +280,7 @@ def _decode_pallas_jit(words_t, lens, init_col, params: Parameters, k: int, delt
         out_specs=pl.BlockSpec((k_pad, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
         # Mosaic compiles on TPU; everywhere else (CPU tests, the 8-device
         # virtual mesh) the interpreter executes the identical semantics.
-        interpret=jax.default_backend() == "cpu",
+        interpret=interp,
         # words tile + its prefetch double-buffer + the (K,128) u8 output
         # exceed the compiler's default 16 MiB scoped-vmem cap by a hair;
         # v5e has headroom above it.

@@ -331,7 +331,8 @@ def encode_blocks_pallas(lo, hi, tot, lens, params: Parameters, n_words: int):
         return words_t.T[:b, :n_words], blen[0, :b], ovf[0, :b].astype(bool)
 
 
-def _encode_kernel_m(params: Parameters, n_words: int, n_epochs: int, delta: int):
+def _encode_kernel_m(params: Parameters, n_words: int, n_epochs: int, delta: int,
+                     unroll: bool = True):
     """Model-in-kernel variant: the dense cumulative row lives in VMEM.
 
     Replaces the rank-precompute inputs (lo/hi/tot streamed from HBM —
@@ -373,22 +374,30 @@ def _encode_kernel_m(params: Parameters, n_words: int, n_epochs: int, delta: int
 
         rows = jax.lax.broadcasted_iota(i32, (S_PAD, LANES), 0)
 
-        def step(ii, carry):
-            low, high, pending, a0, a1, a2, accbits, ovf, cnt = carry
-            t = e * EPOCH + ii
+        def step(ii, t, carry):
+            low, high, pending, a0, a1, a2, accbits, ovf, cnt, tot = carry
             active = t < lens
             is_term = t == lens
 
             sv = syms_ref[pl.ds(ii, 1), :]  # (1, LANES) int32
             cdf = cdf_s[:, :]
-            flo = jnp.max(jnp.where(rows <= sv, cdf, i32(0)), axis=0)[None, :].astype(u32)
+            le = rows <= sv
+            flo = jnp.max(jnp.where(le, cdf, i32(0)), axis=0)[None, :]
             fhi = jnp.max(
                 jnp.where(rows <= sv + i32(1), cdf, i32(0)), axis=0
-            )[None, :].astype(u32)
-            tot = cdf[S, :][None, :]
+            )[None, :]
             count = jnp.where(active, tot, i32(1)).astype(u32)
+            # Masked model operands keep wide32.muldiv inside its documented
+            # bounds (quotient < 2**23) on inactive/terminator steps.
+            flo = jnp.where(active, flo, i32(0)).astype(u32)
+            fhi = jnp.where(active, fhi, i32(0)).astype(u32)
+            # Adaptation (+delta above the symbol while not frozen,
+            # adaptive_linear.rs:33-39); the running total rides in a
+            # register instead of re-reading row S every step.
             upd = active & (tot < i32(freq_max))
-            cdf_s[:, :] = cdf + jnp.where((rows > sv) & upd, i32(delta), i32(0))
+            delta_v = jnp.where(upd, i32(delta), i32(0))
+            cdf_s[:, :] = cdf + jnp.where(le, i32(0), delta_v)
+            tot = tot + delta_v
 
             # Interval narrowing (codec.rs:58-60) — exact wide arithmetic.
             rngv = high - low + u32(1)
@@ -463,16 +472,28 @@ def _encode_kernel_m(params: Parameters, n_words: int, n_epochs: int, delta: int
             st_s[pl.ds(128 + 2 * ii + 1, 1), :] = f2.astype(u32)
             cnt = cnt + f1.astype(i32) + f2.astype(i32)
 
-            return low2, high2, pending, a0, a1, a2, accbits, ovf, cnt
+            return low2, high2, pending, a0, a1, a2, accbits, ovf, cnt, tot
 
         carry = (
             iv_s[0, :][None, :], iv_s[1, :][None, :], iv_s[2, :][None, :],
             acc_s[0, :][None, :], acc_s[1, :][None, :], acc_s[2, :][None, :],
             acc_s[3, :][None, :], iv_s[3, :][None, :],
             jnp.zeros((1, LANES), i32),
+            cdf_s[S, :][None, :],  # running total (register copy of row S)
         )
-        carry = jax.lax.fori_loop(0, EPOCH, step, carry)
-        low, high, pending, a0, a1, a2, accbits, ovf, cnt = carry
+        # Statically unrolled symbol loop on TPU (static stage addressing
+        # — dynamic VMEM addressing stalls on v5e); rolled fori_loop in
+        # interpret mode, where the 32x body would blow up XLA CPU
+        # compile time.  Same step function either way.
+        t0 = e * EPOCH
+        if unroll:
+            for ii in range(EPOCH):
+                carry = step(ii, t0 + ii, carry)
+        else:
+            carry = jax.lax.fori_loop(
+                0, EPOCH, lambda ii, c: step(ii, t0 + ii, c), carry
+            )
+        low, high, pending, a0, a1, a2, accbits, ovf, cnt, _tot = carry
         iv_s[0, :] = low[0, :]
         iv_s[1, :] = high[0, :]
         iv_s[2, :] = pending[0, :]
@@ -521,7 +542,11 @@ def _encode_kernel_m(params: Parameters, n_words: int, n_epochs: int, delta: int
             # compare; in-span slabs with no dumping lane cost one vector
             # any-reduction.
             limit = (nw_s[0, :][None, :] + (i32(31) if full_tail else i32(0))) >> i32(5)
-            smin_s[0, 0] = jnp.min(nd_s[0, :])
+            # Lanes with nothing to dump this sweep (api padding lanes,
+            # tiny blocks: limit == 0) must not pin the span floor to 0.
+            smin_s[0, 0] = jnp.min(
+                jnp.where(limit[0, :] > 0, nd_s[0, :], i32(n_words // SLAB))
+            )
             smax_s[0, 0] = jnp.max(limit[0, :])
             for p in range(n_words // SLAB):
 
@@ -561,14 +586,17 @@ def _encode_kernel_m(params: Parameters, n_words: int, n_epochs: int, delta: int
 @functools.partial(jax.jit, static_argnames=("params", "n_words", "delta"))
 def _encode_pallas_m_jit(syms_t, lens, init_col, params: Parameters, n_words: int,
                          delta: int):
+    if n_words % SLAB:  # run_dumps sweeps whole slabs; a direct caller
+        raise ValueError("n_words must be a multiple of SLAB (use the wrapper)")
     k_pad, b = syms_t.shape
     n_tiles = b // LANES
     n_epochs = k_pad // EPOCH
-    kernel = _encode_kernel_m(params, n_words, n_epochs, delta)
+    interp = jax.default_backend() == "cpu"
+    kernel = _encode_kernel_m(params, n_words, n_epochs, delta, unroll=not interp)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles, n_epochs),
-        interpret=jax.default_backend() == "cpu",
+        interpret=interp,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec((1, LANES), lambda i, e: (0, i), memory_space=pltpu.VMEM),

@@ -1,0 +1,154 @@
+"""Kernel micro-benchmark: encode/decode Pallas kernels device-resident.
+
+Usage: python scripts/kbench.py [--blocks N] [--bs BYTES] [--iters N]
+Times ONLY the kernel entry points (model-in-kernel encode, transposed
+decode) on real corpus bytes, skipping the api/container host path, so
+kernel changes can be A/B'd in seconds.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from redux_tpu import api, container
+from redux_tpu.models.dense import prior_init_cum, quantize_prior
+from redux_tpu.params import Parameters
+
+RES = "/root/reference/resources"
+
+
+def load_corpus(n: int) -> bytes:
+    parts = []
+    for c in ("calgary", "large"):
+        d = os.path.join(RES, c)
+        for name in sorted(os.listdir(d)):
+            with open(os.path.join(d, name), "rb") as f:
+                parts.append(f.read())
+    data = b"".join(parts)
+    while len(data) < n:
+        data += data
+    return data[:n]
+
+
+def sync(*arrays):
+    for a in arrays:
+        jax.block_until_ready(a)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bs", type=int, default=container.DEFAULT_BLOCK_SIZE)
+    ap.add_argument("--blocks", type=int, default=0, help="0 = whole corpus")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--delta", type=int, default=container.DEFAULT_DELTA)
+    ap.add_argument("--profile", default="", help="jax.profiler trace dir")
+    ap.add_argument("--enc-only", action="store_true")
+    ap.add_argument("--dec-only", action="store_true")
+    args = ap.parse_args()
+
+    params = Parameters.tpu_wide()
+    k = args.bs
+    n = args.blocks * k if args.blocks else 9786796
+    data = load_corpus(n)
+    print(f"corpus {len(data)} bytes, block {k}, backend {jax.default_backend()}",
+          file=sys.stderr)
+
+    hist = np.bincount(np.frombuffer(data, dtype=np.uint8), minlength=256)
+    budget = min(container.DEFAULT_PRIOR_BUDGET, params.freq_max // 2)
+    extra = quantize_prior(hist, params, budget)[:256]
+    full = np.zeros(params.symbol_count, dtype=np.int64)
+    full[:256] = extra
+    ic = prior_init_cum(full, params).astype(np.int32)
+
+    syms_np, lens_np, n_blocks = api._split_blocks(data, k)
+    n_words = min(api._static_words(params, k, args.delta), k // 4 + 16)
+    syms = jax.device_put(jnp.asarray(syms_np))
+    lens = jax.device_put(jnp.asarray(lens_np))
+    icj = jax.device_put(jnp.asarray(ic))
+    sync(syms, lens, icj)
+    print(f"n_blocks={n_blocks} lanes={syms_np.shape[0]} n_words={n_words}",
+          file=sys.stderr)
+
+    from redux_tpu.ops.pallas_decode import (
+        decode_blocks_pallas_t, init_cum_column, pad_geometry,
+    )
+    from redux_tpu.ops.pallas_encode import encode_blocks_pallas_m
+
+    def encode_step():
+        return encode_blocks_pallas_m(syms, lens, icj, params, n_words, args.delta)
+
+    t0 = time.perf_counter()
+    words, byte_lens, ovf = encode_step()
+    sync(words, byte_lens, ovf)
+    print(f"encode compile+run {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        words, byte_lens, ovf = encode_step()
+    sync(words, byte_lens, ovf)
+    t_enc = (time.perf_counter() - t0) / args.iters
+    enc_gbps = len(data) / t_enc / 1e9
+    print(f"encode: {t_enc*1e3:.1f} ms  {enc_gbps:.3f} GB/s")
+    if args.profile and not args.dec_only:
+        with jax.profiler.trace(args.profile + "/enc"):
+            w2 = encode_step()
+            sync(*w2)
+
+    if args.enc_only:
+        return
+
+    bl_np = np.asarray(byte_lens)[:n_blocks]
+    w_np = np.asarray(words)[:n_blocks]
+    wcap = max(4, int(-(-bl_np.max() // 4)) + 2)
+    wn_pad, bp = pad_geometry(wcap, n_blocks)
+    order = np.argsort(bl_np, kind="stable")
+    words_t = np.zeros((wn_pad, bp), dtype=np.uint32)
+    lens_row = np.zeros((1, bp), dtype=np.int32)
+    for lane, i in enumerate(order):
+        nwi = (bl_np[i] + 3) // 4
+        words_t[:nwi, lane] = w_np[i, :nwi]
+        lens_row[0, lane] = lens_np[i]
+    wt = jax.device_put(jnp.asarray(words_t))
+    lr = jax.device_put(jnp.asarray(lens_row))
+    icol = jax.device_put(jnp.asarray(init_cum_column(ic, params)))
+    sync(wt, lr, icol)
+
+    def decode_step():
+        return decode_blocks_pallas_t(wt, lr, icol, params, k, args.delta)
+
+    t0 = time.perf_counter()
+    out = decode_step()
+    sync(out)
+    print(f"decode compile+run {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = decode_step()
+    sync(out)
+    t_dec = (time.perf_counter() - t0) / args.iters
+    dec_gbps = len(data) / t_dec / 1e9
+    print(f"decode: {t_dec*1e3:.1f} ms  {dec_gbps:.3f} GB/s")
+    print(f"aggregate: {2*len(data)/(t_enc+t_dec)/1e9:.3f} GB/s")
+    if args.profile:
+        with jax.profiler.trace(args.profile + "/dec"):
+            o2 = decode_step()
+            sync(o2)
+
+    # quick correctness spot check
+    dec_np = np.asarray(out)
+    got = np.zeros((n_blocks, k), dtype=np.uint8)
+    for lane, i in enumerate(order):
+        got[i] = dec_np[:k, lane]
+    ok = got.reshape(-1)[: len(data)].tobytes() == data
+    print(f"roundtrip ok: {ok}")
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
