@@ -131,6 +131,7 @@ def encode(
     delta: int = DEFAULT_DELTA,
     use_prior: Optional[bool] = None,
     prior_budget: int = DEFAULT_PRIOR_BUDGET,
+    _timings: Optional[dict] = None,
 ) -> bytes:
     """Compress ``data`` into an RXT v2 block-parallel archive.
 
@@ -140,6 +141,17 @@ def encode(
     size on every corpus file > 256 KiB.  The archive header records all
     of it, so any valid config round-trips.
     """
+    import time as _time
+
+    tt = _timings if _timings is not None else {}
+    t0 = _time.perf_counter()
+
+    def _mark(name):
+        nonlocal t0
+        now = _time.perf_counter()
+        tt[name] = tt.get(name, 0.0) + (now - t0)
+        t0 = now
+
     params = params or Parameters.tpu_wide()
     if params.symbol_bits != 8:
         raise InvalidInputError()  # byte-oriented container
@@ -155,6 +167,7 @@ def encode(
     ic = _init_cum(params, prior_extra)
     _check_config(params, block_size, delta, int(ic[-1]))
     crc = container.compute_crc(data)
+    _mark("prior+crc")
 
     if len(data) == 0:
         return container.build_archive(params, block_size, 0, [], prior_extra, delta, crc)
@@ -166,6 +179,7 @@ def encode(
     # never needs the adversarial code_bits-per-symbol bound — this also
     # keeps the Pallas encode kernel's VMEM output block ~ block_size.
     n_words = min(_static_words(params, k, delta), k // 4 + 16)
+    _mark("split")
     lens_j = jnp.asarray(lens)
     if _use_pallas(params):
         # Model-in-kernel path: no rank precompute, no lo/hi/tot streams.
@@ -180,37 +194,41 @@ def encode(
             delta=delta,
         )
         words, byte_lens, ovf = encode_blocks_v2(lo, hi, tot, lens_j, params, n_words)
-    byte_lens = np.asarray(byte_lens)
-    ovf = np.asarray(ovf)
-    # Stored-raw decision (backend-independent): overflowed lanes and any
-    # block whose coded stream is not smaller than the raw bytes.
-    block_len = lambda i: min(block_size, len(data) - i * block_size)
-    raw = [
-        bool(ovf[i]) or int(byte_lens[i]) >= block_len(i) for i in range(n_blocks)
-    ]
-    if int(byte_lens[:n_blocks].max(initial=0)) > 4 * n_words and not all(
-        raw[i] for i in range(n_blocks) if int(byte_lens[i]) > 4 * n_words
+    byte_lens = np.asarray(byte_lens)[:n_blocks]
+    ovf = np.asarray(ovf)[:n_blocks]
+    _mark("kernel+lens")
+    # Stored-raw decision (backend-independent, vectorized): overflowed
+    # lanes and any block whose coded stream is not smaller than raw.
+    blk_lens = np.minimum(
+        block_size, len(data) - block_size * np.arange(n_blocks, dtype=np.int64)
+    )
+    raw_v = ovf.astype(bool) | (byte_lens >= blk_lens)
+    if int(byte_lens.max(initial=0)) > 4 * n_words and not bool(
+        raw_v[byte_lens > 4 * n_words].all()
     ):
         raise InvalidInputError()  # buffer bound violated — never silent
-    # Trim to the words actually used and fetch as uint8 (fast transfer).
-    coded_max = max(
-        (int(byte_lens[i]) for i in range(n_blocks) if not raw[i]), default=1
-    )
+    # Trim to the words/lanes actually used and fetch as uint8.
+    coded = byte_lens[~raw_v]
+    coded_max = int(coded.max()) if coded.size else 1
     wcap = _pad_lanes(max(1, -(-coded_max // 4)))
     wcap = min(wcap, n_words)
-    byts = np.asarray(words_to_bytes_device(words[:, :wcap]))
+    byts = np.asarray(words_to_bytes_device(words[:n_blocks, :wcap]))
+    _mark("fetch")
+    raw = raw_v.tolist()
     streams = [
-        data[i * block_size : i * block_size + block_len(i)]
+        data[i * block_size : i * block_size + blk_lens[i]]
         if raw[i]
         else byts[i, : byte_lens[i]].tobytes()
         for i in range(n_blocks)
     ]
-    return container.build_archive(
+    out = container.build_archive(
         params, block_size, len(data), streams, prior_extra, delta, crc, raw
     )
+    _mark("splice")
+    return out
 
 
-def decode(archive: bytes) -> bytes:
+def decode(archive: bytes, _timings: Optional[dict] = None) -> bytes:
     """Decompress an RXT archive produced by :func:`encode`.
 
     Verifies the stored crc32 of the original data and raises
@@ -218,6 +236,17 @@ def decode(archive: bytes) -> bytes:
     garbage (the truncation analog of the reference's Error::Eof,
     bitio/mod.rs:106-108).
     """
+    import time as _time
+
+    tt = _timings if _timings is not None else {}
+    t0 = _time.perf_counter()
+
+    def _mark(name):
+        nonlocal t0
+        now = _time.perf_counter()
+        tt[name] = tt.get(name, 0.0) + (now - t0)
+        t0 = now
+
     header, streams = container.parse_archive(archive)
     params = header.params
     if header.orig_len == 0:
@@ -227,30 +256,52 @@ def decode(archive: bytes) -> bytes:
     ic = _init_cum(params, prior)
     n_blocks = header.n_blocks
     block_lens = np.asarray(header.block_lens, dtype=np.int32)
-    raw = list(header.block_raw) or [False] * n_blocks
+    raw_v = (
+        np.asarray(header.block_raw, dtype=bool)
+        if header.block_raw
+        else np.zeros(n_blocks, dtype=bool)
+    )
     k = header.block_size
     n_words = _static_words(params, k, header.delta)
     b_pad = _pad_lanes(n_blocks)
+    stream_lens = np.fromiter((len(s) for s in streams), np.int32, n_blocks)
+    if (stream_lens[raw_v] != block_lens[raw_v]).any():
+        raise InvalidInputError()
     # Ship compressed bytes to the device as uint8 (fast transfer path),
     # sized to the words actually needed; pack to u32 on-device.  Two
     # extra zero words guarantee the decoder's read-ahead past each
     # stream's terminator sees zero bits (the v2 termination contract).
     # Stored-raw blocks bypass the kernel entirely (len 0 lanes) and are
     # spliced from the archive bytes at assembly.
-    coded_max = max(
-        (len(s) for i, s in enumerate(streams) if not raw[i]), default=4
-    )
+    coded_lens = np.where(raw_v, 0, stream_lens)
+    coded_max = int(coded_lens.max(initial=4))
     wcap = _pad_lanes(max(4, -(-coded_max // 4) + 2))
     wcap = min(wcap, n_words + 2)
     # Lanes sorted by compressed length: blocks with similar bit rates
-    # land in the same 128-lane tile, which keeps the Pallas decoder's
+    # land in the same lane tile, which keeps the Pallas decoder's
     # stream-refill spans tight (the kernel's cost model); the host-side
     # permutation is free (streams are spliced per-block anyway) and is
     # inverted at assembly below.
-    order = sorted(range(n_blocks), key=lambda i: 0 if raw[i] else len(streams[i]))
-    for i in range(n_blocks):
-        if raw[i] and len(streams[i]) != int(block_lens[i]):
-            raise InvalidInputError()
+    order = np.argsort(coded_lens, kind="stable")
+    _mark("parse")
+
+    def _stage(rows, row_bytes):
+        """(rows, row_bytes) u8 staging matrix of the coded streams, in
+        ``order``, plus per-lane symbol counts — vectorized scatter (the
+        row-major mask enumerates exactly the concatenated payload)."""
+        byts = np.zeros((rows, row_bytes), dtype=np.uint8)
+        lens_o = coded_lens[order]
+        cat = np.frombuffer(
+            b"".join(streams[i] for i in order if not raw_v[i]), dtype=np.uint8
+        )
+        mask = np.arange(row_bytes, dtype=np.int32)[None, :] < lens_o[:, None]
+        if rows > n_blocks:
+            mask = np.pad(mask, ((0, rows - n_blocks), (0, 0)))
+        byts[mask] = cat
+        klens = np.zeros(rows, dtype=np.int32)
+        klens[:n_blocks] = np.where(raw_v, 0, block_lens)[order]
+        return byts, klens
+
     if _use_pallas(params):
         # Transposed host-built layout: no device-side byte relayouts
         # (u8 transposes are slow on TPU), one upload, one kernel.
@@ -261,47 +312,43 @@ def decode(archive: bytes) -> bytes:
         )
 
         wn_pad, bp = pad_geometry(wcap, n_blocks)
-        byts = np.zeros((bp, wn_pad * 4), dtype=np.uint8)
-        lens_row = np.zeros((1, bp), dtype=np.int32)
-        for lane, i in enumerate(order):
-            if not raw[i]:
-                byts[lane, : len(streams[i])] = np.frombuffer(streams[i], np.uint8)
-                lens_row[0, lane] = block_lens[i]
+        byts, klens = _stage(bp, wn_pad * 4)
+        lens_row = klens.reshape(1, bp)
         # big-endian words, lane-minor: (wn_pad, bp)
-        words_t = np.ascontiguousarray(
-            byts.view(">u4").astype(np.uint32).T
-        )
+        words_t = np.ascontiguousarray(byts.view(">u4").astype(np.uint32).T)
+        _mark("stage")
         out = decode_blocks_pallas_t(
             jnp.asarray(words_t), jnp.asarray(lens_row),
             jnp.asarray(init_cum_column(ic, params)), params, k,
             delta=header.delta,
         )
-        syms_u8 = np.asarray(out).T  # (bp, k_pad) view, rows = lanes
+        syms_u8 = np.asarray(out[:k, :]).T  # (bp, k), rows = lanes
+        _mark("kernel+fetch")
     else:
-        byts = np.zeros((b_pad, wcap * 4), dtype=np.uint8)
-        lens_pad = np.zeros(b_pad, dtype=np.int32)
-        for lane, i in enumerate(order):
-            if not raw[i]:
-                byts[lane, : len(streams[i])] = np.frombuffer(streams[i], np.uint8)
-                lens_pad[lane] = block_lens[i]
+        byts, klens = _stage(b_pad, wcap * 4)
+        _mark("stage")
         words = bytes_to_words_device(jnp.asarray(byts))
         syms_u8 = np.asarray(
             decode_blocks(
-                words, jnp.asarray(lens_pad), jnp.asarray(ic), params, k,
+                words, jnp.asarray(klens), jnp.asarray(ic), params, k,
                 delta=header.delta,
             )
-        ).astype(np.uint8)
+        ).astype(np.uint8)[:, :k]
+        _mark("kernel+fetch")
     # Undo the lane sort, splice stored-raw blocks, flatten: blocks are
     # contiguous and full-sized except the last, so the first orig_len
     # entries are exactly the original bytes.
-    flat = np.zeros((n_blocks, k), dtype=np.uint8)
-    for lane, i in enumerate(order):
-        if raw[i]:
-            flat[i, : block_lens[i]] = np.frombuffer(streams[i], dtype=np.uint8)
-        else:
-            flat[i] = syms_u8[lane, :k]
+    inv = np.empty(n_blocks, dtype=np.int64)
+    inv[order] = np.arange(n_blocks)
+    flat = syms_u8[inv]  # (n_blocks, k) in original block order
+    if raw_v.any():
+        for i in np.nonzero(raw_v)[0]:
+            row = np.zeros(k, dtype=np.uint8)
+            row[: block_lens[i]] = np.frombuffer(streams[i], dtype=np.uint8)
+            flat[i] = row
     out = flat.reshape(-1)[: header.orig_len].tobytes()
     container.verify_crc(header, out)
+    _mark("assemble")
     return out
 
 

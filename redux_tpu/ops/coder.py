@@ -305,11 +305,13 @@ def decode_blocks(words, lens, init_cum, params: Parameters, k: int, delta: int 
     cmax_half = jnp.asarray(params.code_max >> 1, wdt)
     one = jnp.asarray(1, wdt)
     freq_max = params.freq_max
-    # The cumulative row fits int16 whenever freq_max does (freq_bits <= 15):
-    # halves the per-step HBM traffic of the model state, the decode
-    # bottleneck.  All comparisons stay exact (values are non-negative).
-    cdt = jnp.int16 if freq_max <= 32767 else jnp.int32
-    sentinel = jnp.asarray(freq_max, cdt)
+    # The last adaptation step may overshoot the freeze threshold: totals
+    # (and hence cdf[256]) land anywhere in [freq_max, freq_max+delta-1]
+    # (the +delta generalization of adaptive_linear.rs:34).  The int16
+    # packing and the above-every-entry sentinel must both account for it.
+    cdt = jnp.int16 if freq_max + delta <= 32767 else jnp.int32
+    sentinel = jnp.asarray(freq_max + delta, cdt)  # > any cumulative entry
+    freeze_at = jnp.asarray(freq_max, cdt)
     rows = jnp.arange(B)
 
     def read_bits(win, m):
@@ -371,7 +373,7 @@ def decode_blocks(words, lens, init_cum, params: Parameters, k: int, delta: int 
         sym = jnp.clip(sym, 0, S - 1)
         flo = jnp.max(jnp.where(b, cdf, 0), axis=1).astype(wdt)
         fhi = jnp.min(jnp.where(b, sentinel, cdf), axis=1).astype(wdt)
-        upd = active & (cdf[:, S] < sentinel)
+        upd = active & (cdf[:, S] < freeze_at)
         cdf = cdf + jnp.where(b | ~upd[:, None], 0, delta).astype(cdt)
 
         # Narrow; z moves with low (z' = pending - low').

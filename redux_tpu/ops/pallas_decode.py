@@ -59,7 +59,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..params import Parameters
 from . import wide32
 
-LANES = 128
+import os as _os
+LANES = int(_os.environ.get("REDUX_TPU_LANES", "256"))  # lanes per kernel program (ILP width)
 EPOCH = 32  # symbols per inner loop
 SLAB = 32  # words per stream slab
 RING_SLABS = 4  # resident slabs per lane; refill every 2 epochs
@@ -149,7 +150,11 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
             b = cdf <= value
             sym = jnp.sum(b.astype(i32), axis=0, dtype=i32)[None, :] - i32(1)
             flo = jnp.max(jnp.where(b, cdf, i32(0)), axis=0)[None, :].astype(u32)
-            fhi = jnp.min(jnp.where(b, i32(freq_max), cdf), axis=0)[None, :].astype(u32)
+            # Sentinel must exceed EVERY cumulative entry: the freeze can
+            # overshoot to freq_max + delta - 1 (see tests/test_freeze_overshoot).
+            fhi = jnp.min(
+                jnp.where(b, i32(freq_max + delta), cdf), axis=0
+            )[None, :].astype(u32)
             # Adaptation: +delta above the symbol while not frozen
             # (adaptive_linear.rs:33-39); the running total rides in a
             # register instead of re-reading row S every step.

@@ -42,11 +42,17 @@ from ..params import Parameters
 from . import wide32
 from .coder import _append96, _leftalign64, _piece64
 
-LANES = 128
+import os as _os
+LANES = int(_os.environ.get("REDUX_TPU_LANES", "256"))  # lanes per kernel program (ILP width)
 EPOCH = 32  # symbols per grid step
-RING = 128  # ring rows (4 output slabs); epoch flushes < 96 words
-SLAB = 32
-S_PAD = 264  # model rows incl. padding (258 live), multiple of 8
+RING = 256  # ring rows (2 output slabs + epoch slack); epoch flushes < 96 words
+SLAB = 128  # words per dump slab: large slabs keep the statically-unrolled
+# dump sweep short — Mosaic compile time grows superlinearly with the
+# number of pl.when regions (measured: 32-word slabs = 257 regions at
+# 32 KiB blocks took ~13 min to compile; 128-word slabs compile fast)
+SLAB_SH = 7  # log2(SLAB)
+RING_PH = 8  # log2(RING) conditional roll phases
+from .pallas_decode import S_PAD  # shared model-row padding (288)
 
 i32 = jnp.int32
 u32 = jnp.uint32
@@ -210,7 +216,7 @@ def _encode_kernel(params: Parameters, k: int, n_words: int, n_epochs: int):
         # Rotate compacted words to ring offset nw (mod RING) per lane.
         rot = jnp.concatenate([val, jnp.zeros((RING - 2 * EPOCH, LANES), u32)], axis=0)
         nw0 = nw_s[0, :][None, :]
-        for kph in range(7):  # log2(RING) conditional roll phases
+        for kph in range(RING_PH):  # log2(RING) conditional roll phases
             sh = 1 << kph
             cond = ((nw0 >> kph) & 1) == 1
             rot = jnp.where(cond, pltpu.roll(rot, sh, axis=0), rot)
@@ -225,7 +231,9 @@ def _encode_kernel(params: Parameters, k: int, n_words: int, n_epochs: int):
             # block accesses stall ~1.4 us each on v5e; static slices
             # predicated by pl.when(any lane dumps this slab) cost two
             # vector ops when skipped).
-            limit = (nw_s[0, :][None, :] + (i32(31) if full_tail else i32(0))) >> i32(5)
+            limit = (
+                nw_s[0, :][None, :] + (i32(SLAB - 1) if full_tail else i32(0))
+            ) >> i32(SLAB_SH)
             for p in range(n_words // SLAB):
                 m = (nd_s[0, :][None, :] == p) & (p < limit)
 
@@ -526,7 +534,7 @@ def _encode_kernel_m(params: Parameters, n_words: int, n_epochs: int, delta: int
         # Rotate compacted words to ring offset nw (mod RING) per lane.
         rot = jnp.concatenate([val, jnp.zeros((RING - 2 * EPOCH, LANES), u32)], axis=0)
         nw0 = nw_s[0, :][None, :]
-        for kph in range(7):  # log2(RING) conditional roll phases
+        for kph in range(RING_PH):  # log2(RING) conditional roll phases
             sh = 1 << kph
             cond = ((nw0 >> kph) & 1) == 1
             rot = jnp.where(cond, pltpu.roll(rot, sh, axis=0), rot)
@@ -541,7 +549,9 @@ def _encode_kernel_m(params: Parameters, n_words: int, n_epochs: int, delta: int
             # tile-wide [min undumped, max completed) span cost one scalar
             # compare; in-span slabs with no dumping lane cost one vector
             # any-reduction.
-            limit = (nw_s[0, :][None, :] + (i32(31) if full_tail else i32(0))) >> i32(5)
+            limit = (
+                nw_s[0, :][None, :] + (i32(SLAB - 1) if full_tail else i32(0))
+            ) >> i32(SLAB_SH)
             # Lanes with nothing to dump this sweep (api padding lanes,
             # tiny blocks: limit == 0) must not pin the span floor to 0.
             smin_s[0, 0] = jnp.min(

@@ -94,7 +94,8 @@ def main():
     sync(words, byte_lens, ovf)
     t_enc = (time.perf_counter() - t0) / args.iters
     enc_gbps = len(data) / t_enc / 1e9
-    print(f"encode: {t_enc*1e3:.1f} ms  {enc_gbps:.3f} GB/s")
+    comp = int(np.asarray(byte_lens)[:n_blocks].sum()) + 32 + 4 * n_blocks + 512
+    print(f"encode: {t_enc*1e3:.1f} ms  {enc_gbps:.3f} GB/s  ratio {len(data)/comp:.4f}")
     if args.profile and not args.dec_only:
         with jax.profiler.trace(args.profile + "/enc"):
             w2 = encode_step()

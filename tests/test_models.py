@@ -107,3 +107,61 @@ def test_initial_state_uniform():
         assert m.total_frequency() == p.symbol_count
         table = m.get_freq_table()
         assert table == [(i, i + 1) for i in range(p.symbol_count)]
+
+
+# ---------------------------------------------------------------------------
+# Reference-depth differential tier (model/tests.rs:95-251 parity): the
+# exact {4,8,12}-bit x (freq,code) grid at the reference's 10k-200k
+# iteration counts.  Gated behind --runslow like the corpus grid (the
+# reference gates these to release builds, tests.rs cfg_attr(debug, ignore)).
+# ---------------------------------------------------------------------------
+
+REF_GRID = [
+    # (symbol_bits, freq_bits, code_bits, iterations) — tests.rs:96-251
+    (4, 10, 16, 10_000),
+    (4, 14, 16, 10_000),
+    (4, 22, 24, 100_000),
+    (4, 24, 30, 100_000),
+    (4, 30, 32, 200_000),
+    (8, 10, 16, 10_000),
+    (8, 14, 16, 10_000),
+    (8, 22, 24, 100_000),
+    (8, 24, 30, 100_000),
+    (8, 30, 32, 200_000),
+    (12, 14, 16, 10_000),
+    (12, 22, 24, 100_000),
+    (12, 24, 30, 100_000),
+    (12, 30, 32, 200_000),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("bits,freq,code,iters", REF_GRID)
+def test_compare_models_encode_reference_depth(bits, freq, code, iters):
+    p = Parameters(bits, freq, code)
+    models = _models(p)
+    rng = random.Random(0xC0DEC + bits * 1000 + freq)
+    for i in range(iters):
+        totals = [m.total_frequency() for m in models]
+        assert len(set(totals)) == 1, i
+        symbol = rng.randrange(p.symbol_eof + 1)
+        results = [m.get_frequency(symbol) for m in models]
+        assert len(set(results)) == 1, (i, symbol, results)
+    tables = [tuple(m.get_freq_table()) for m in models]
+    assert len(set(tables)) == 1
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("bits,freq,code,iters", REF_GRID)
+def test_compare_models_decode_reference_depth(bits, freq, code, iters):
+    p = Parameters(bits, freq, code)
+    models = _models(p)
+    rng = random.Random(0xDEC0DE + bits * 1000 + freq)
+    for i in range(iters):
+        totals = [m.total_frequency() for m in models]
+        assert len(set(totals)) == 1, i
+        value = rng.randrange(totals[0])
+        results = [m.get_symbol(value) for m in models]
+        assert len(set(results)) == 1, (i, value, results)
+    tables = [tuple(m.get_freq_table()) for m in models]
+    assert len(set(tables)) == 1
