@@ -94,6 +94,24 @@ def _init_cum(params: Parameters, prior_extra: Optional[np.ndarray]) -> np.ndarr
     return prior_init_cum(full, params).astype(np.int32)
 
 
+def _dp_mesh():
+    """A 1-D dp mesh over all visible devices, or None when single-device.
+
+    The production kernels are per-lane programs; on a multi-chip slice
+    the api shards lanes over this mesh (shard_map, zero hot-path
+    collectives — redux_tpu.parallel.mesh).
+    """
+    try:
+        devs = jax.devices()
+    except (RuntimeError, OSError):  # pragma: no cover - backend init failure
+        return None
+    if len(devs) <= 1:
+        return None
+    from .parallel.mesh import data_parallel_mesh
+
+    return data_parallel_mesh()
+
+
 def _use_pallas(params: Parameters) -> bool:
     """Mosaic kernels run on real TPU backends; XLA paths everywhere else.
 
@@ -183,11 +201,20 @@ def encode(
     lens_j = jnp.asarray(lens)
     if _use_pallas(params):
         # Model-in-kernel path: no rank precompute, no lo/hi/tot streams.
-        from .ops.pallas_encode import encode_blocks_pallas_m
+        mesh = _dp_mesh()
+        if mesh is not None:
+            from .parallel.mesh import encode_blocks_pallas_m_sharded
 
-        words, byte_lens, ovf = encode_blocks_pallas_m(
-            jnp.asarray(syms), lens_j, jnp.asarray(ic), params, n_words, delta
-        )
+            words, byte_lens, ovf = encode_blocks_pallas_m_sharded(
+                jnp.asarray(syms), lens_j, jnp.asarray(ic), params, n_words,
+                mesh, delta,
+            )
+        else:
+            from .ops.pallas_encode import encode_blocks_pallas_m
+
+            words, byte_lens, ovf = encode_blocks_pallas_m(
+                jnp.asarray(syms), lens_j, jnp.asarray(ic), params, n_words, delta
+            )
     else:
         lo, hi, tot, _el, _eh, _et = precompute_encode_model(
             jnp.asarray(syms), lens_j, jnp.asarray(ic), params.freq_max,
@@ -311,19 +338,39 @@ def decode(archive: bytes, _timings: Optional[dict] = None) -> bytes:
             pad_geometry,
         )
 
-        wn_pad, bp = pad_geometry(wcap, n_blocks)
-        byts, klens = _stage(bp, wn_pad * 4)
-        lens_row = klens.reshape(1, bp)
-        # big-endian words, lane-minor: (wn_pad, bp)
-        words_t = np.ascontiguousarray(byts.view(">u4").astype(np.uint32).T)
-        _mark("stage")
-        out = decode_blocks_pallas_t(
-            jnp.asarray(words_t), jnp.asarray(lens_row),
-            jnp.asarray(init_cum_column(ic, params)), params, k,
-            delta=header.delta,
-        )
-        syms_u8 = np.asarray(out[:k, :]).T  # (bp, k), rows = lanes
-        _mark("kernel+fetch")
+        mesh = _dp_mesh()
+        if mesh is not None:
+            from .parallel.mesh import (
+                decode_blocks_pallas_sharded,
+                pallas_lane_quantum,
+            )
+
+            q = pallas_lane_quantum(mesh)
+            bp = ((n_blocks + q - 1) // q) * q
+            wn_pad, _ = pad_geometry(wcap, n_blocks)
+            byts, klens = _stage(bp, wn_pad * 4)
+            words = byts.view(">u4").astype(np.uint32)  # (bp, wn_pad)
+            _mark("stage")
+            out = decode_blocks_pallas_sharded(
+                jnp.asarray(words), jnp.asarray(klens), jnp.asarray(ic),
+                params, k, mesh, delta=header.delta,
+            )
+            syms_u8 = np.asarray(out)  # (bp, k), rows = lanes
+            _mark("kernel+fetch")
+        else:
+            wn_pad, bp = pad_geometry(wcap, n_blocks)
+            byts, klens = _stage(bp, wn_pad * 4)
+            lens_row = klens.reshape(1, bp)
+            # big-endian words, lane-minor: (wn_pad, bp)
+            words_t = np.ascontiguousarray(byts.view(">u4").astype(np.uint32).T)
+            _mark("stage")
+            out = decode_blocks_pallas_t(
+                jnp.asarray(words_t), jnp.asarray(lens_row),
+                jnp.asarray(init_cum_column(ic, params)), params, k,
+                delta=header.delta,
+            )
+            syms_u8 = np.asarray(out[:k, :]).T  # (bp, k), rows = lanes
+            _mark("kernel+fetch")
     else:
         byts, klens = _stage(b_pad, wcap * 4)
         _mark("stage")

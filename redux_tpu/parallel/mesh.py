@@ -104,3 +104,119 @@ def initialize_multihost(**kwargs) -> None:
         jax.distributed.initialize(**kwargs)
     except RuntimeError:
         pass  # already initialized
+
+
+# ---------------------------------------------------------------------------
+# Production (Pallas) path sharding.
+#
+# The Pallas kernels are pure per-lane programs, so they shard exactly like
+# the XLA coders: lanes over "dp", zero hot-path collectives.  The sharded
+# entries wrap the jit-level kernels (the host-side staging of the unsharded
+# wrappers runs once, outside shard_map); each device then launches its own
+# kernel over its lane shard.  On non-TPU backends the identical kernels run
+# in Pallas interpret mode, which is how the virtual-device mesh tests and
+# the driver's multi-chip dryrun exercise this path without hardware.
+# ---------------------------------------------------------------------------
+
+
+def pallas_lane_quantum(mesh: Mesh) -> int:
+    """Per-shard lane alignment: every shard must be whole kernel tiles."""
+    from ..ops.pallas_encode import LANES
+
+    return LANES * mesh.devices.size
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "n_words", "delta", "mesh")
+)
+def _encode_pallas_sharded(syms_t, lens_row, init_col, params, n_words, delta, mesh):
+    from ..ops.pallas_encode import _encode_pallas_m_jit
+
+    fn = functools.partial(
+        _encode_pallas_m_jit.__wrapped__,
+        params=params, n_words=n_words, delta=delta,
+    )
+    lanes = P(None, "dp")  # all kernel operands carry lanes on axis 1
+    return jax.shard_map(
+        lambda s, l, ic: fn(s, l, ic),
+        mesh=mesh,
+        in_specs=(lanes, lanes, P()),
+        out_specs=(lanes, lanes, lanes),
+        check_vma=False,
+    )(syms_t, lens_row, init_col)
+
+
+def encode_blocks_pallas_m_sharded(
+    syms, lens, init_cum, params: Parameters, n_words: int, mesh: Mesh,
+    delta: int = 1,
+):
+    """Sharded model-in-kernel Pallas encoder (lanes over ``dp``).
+
+    Same contract as :func:`redux_tpu.ops.pallas_encode.encode_blocks_pallas_m`;
+    lanes are padded to whole per-device kernel tiles.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ..ops.pallas_decode import init_cum_column
+    from ..ops.pallas_encode import EPOCH, SLAB
+
+    b, k = syms.shape
+    q = pallas_lane_quantum(mesh)
+    b_pad = ((b + q - 1) // q) * q
+    k_pad = ((k + 1 + EPOCH - 1) // EPOCH) * EPOCH
+    nw_pad = ((n_words + SLAB - 1) // SLAB) * SLAB
+    with jax.enable_x64(False):
+        syms_t = jnp.pad(syms.astype(jnp.int32), ((0, b_pad - b), (0, k_pad - k))).T
+        lens_row = jnp.pad(
+            lens.astype(jnp.int32), (0, b_pad - b), constant_values=-1
+        ).reshape(1, b_pad)
+        init_col = jnp.asarray(init_cum_column(np.asarray(init_cum), params))
+        words_t, blen, ovf = _encode_pallas_sharded(
+            syms_t, lens_row, init_col, params, nw_pad, int(delta), mesh
+        )
+        return words_t.T[:b, :n_words], blen[0, :b], ovf[0, :b].astype(bool)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "k", "delta", "mesh"))
+def _decode_pallas_sharded(words_t, lens_row, init_col, params, k, delta, mesh):
+    from ..ops.pallas_decode import _decode_pallas_jit
+
+    fn = functools.partial(
+        _decode_pallas_jit.__wrapped__, params=params, k=k, delta=delta
+    )
+    lanes = P(None, "dp")
+    return jax.shard_map(
+        lambda w, l, ic: fn(w, l, ic),
+        mesh=mesh,
+        in_specs=(lanes, lanes, P()),
+        out_specs=lanes,
+        check_vma=False,
+    )(words_t, lens_row, init_col)
+
+
+def decode_blocks_pallas_sharded(
+    words, lens, init_cum, params: Parameters, k: int, mesh: Mesh, delta: int = 1
+):
+    """Sharded Pallas decoder (lanes over ``dp``).
+
+    Same contract as :func:`redux_tpu.ops.pallas_decode.decode_blocks_pallas`.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ..ops.pallas_decode import init_cum_column, pad_geometry
+
+    b, wn = words.shape
+    wn_pad, _ = pad_geometry(wn, b)
+    q = pallas_lane_quantum(mesh)
+    b_pad = ((b + q - 1) // q) * q
+    with jax.enable_x64(False):
+        words_p = jnp.pad(words.astype(jnp.uint32), ((0, b_pad - b), (0, wn_pad - wn)))
+        words_t = words_p.T
+        lens_row = jnp.pad(lens.astype(jnp.int32), (0, b_pad - b)).reshape(1, b_pad)
+        init_col = jnp.asarray(init_cum_column(np.asarray(init_cum), params))
+        out = _decode_pallas_sharded(
+            words_t, lens_row, init_col, params, k, int(delta), mesh
+        )
+        return out[:k, :b].T  # (B, k) uint8

@@ -97,3 +97,61 @@ def test_sharded_output_is_actually_sharded(mesh):
     words, _, _ = encode_blocks_sharded(lo, hi, tot, jnp.asarray(lens), p, w, mesh)
     # The lane axis must be partitioned across all mesh devices.
     assert len(words.sharding.device_set) == mesh.devices.size
+
+
+# ---------------------------------------------------------------------------
+# Production-path sharding: the Pallas kernels under the same dp mesh
+# (interpret mode off-TPU — identical semantics, same shard_map wiring the
+# api uses on a multi-chip slice).
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_pallas_encode_decode_bit_exact(mesh):
+    from redux_tpu.parallel.mesh import (
+        decode_blocks_pallas_sharded,
+        encode_blocks_pallas_m_sharded,
+    )
+
+    p = Parameters(8, 14, 16)
+    blocks, syms, lens, ic = _prep(p, n_blocks=12)
+    w = K // 4 + 16
+    words, byte_lens, ovf = encode_blocks_pallas_m_sharded(
+        jnp.asarray(syms), jnp.asarray(lens), jnp.asarray(ic), p, w, mesh,
+        delta=DELTA,
+    )
+    assert not np.asarray(ovf).any()
+    wn, bl = np.asarray(words), np.asarray(byte_lens)
+    for i, d in enumerate(blocks):
+        got = wn[i].astype(">u4").tobytes()[: bl[i]]
+        assert got == compress_block(d, p, ic.astype(np.int64), DELTA), i
+    dec = np.asarray(
+        decode_blocks_pallas_sharded(
+            jnp.asarray(wn), jnp.asarray(lens), jnp.asarray(ic), p, K, mesh,
+            delta=DELTA,
+        )
+    )
+    for i, d in enumerate(blocks):
+        assert bytes(dec[i, : lens[i]].astype(np.uint8)) == d, i
+
+
+def test_sharded_pallas_output_is_partitioned(mesh):
+    from redux_tpu.parallel.mesh import _encode_pallas_sharded
+    from redux_tpu.ops.pallas_decode import init_cum_column
+    from redux_tpu.parallel.mesh import pallas_lane_quantum
+
+    p = Parameters(8, 14, 16)
+    _, syms, lens, ic = _prep(p, n_blocks=8)
+    q = pallas_lane_quantum(mesh)
+    k_pad = ((K + 1 + 31) // 32) * 32
+    syms_t = jnp.pad(
+        jnp.asarray(syms, jnp.int32), ((0, q - syms.shape[0]), (0, k_pad - K))
+    ).T
+    lens_row = jnp.pad(
+        jnp.asarray(lens, jnp.int32), (0, q - lens.shape[0]), constant_values=-1
+    ).reshape(1, q)
+    icol = jnp.asarray(init_cum_column(np.asarray(ic), p))
+    words_t, _, _ = _encode_pallas_sharded(
+        syms_t, lens_row, icol, p, 256, DELTA, mesh
+    )
+    # The lane axis of the kernel output must span every mesh device.
+    assert len(words_t.sharding.device_set) == mesh.devices.size
