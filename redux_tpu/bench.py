@@ -67,10 +67,10 @@ def run_device_benchmark(data: bytes, block_size: int = BLOCK_SIZE, iters: int =
 
     if use_pallas:
         from .ops.pallas_decode import decode_blocks_pallas_t, init_cum_column, pad_geometry
-        from .ops.pallas_encode import encode_blocks_pallas_m
+        from .ops.pallas_encode import encode_blocks_ranked
 
         def encode_step():
-            return encode_blocks_pallas_m(syms, lens, icj, params, n_words, DELTA)
+            return encode_blocks_ranked(syms, lens, icj, params, n_words, DELTA)
     else:
         from .ops.coder import encode_blocks_v2
 

@@ -66,11 +66,14 @@ FLAG_PRIOR = 1
 HEADER_BYTES = 32
 
 # Production configuration (chosen by the measured config studies,
-# scripts/ratio_study*.py): (8,20,22) wide-u32 interval math, 32 KiB
-# blocks, adaptation increment 16, prior budget 128k counts.  Beats the
+# docs/DESIGN_NOTES.md): (8,20,22) wide-u32 interval math, 4 KiB blocks,
+# adaptation increment 16, prior budget 128k counts.  Beats the
 # reference's compressed size on every corpus file > 256 KiB while keeping
 # all kernel arithmetic in dual-u32 (no 64-bit emulation on TPU).
-DEFAULT_BLOCK_SIZE = 1 << 15  # 32 KiB of symbols per block
+DEFAULT_BLOCK_SIZE = 1 << 12  # 4 KiB of symbols per block (round 3: more
+# lanes in flight = higher kernel throughput at ~1.5-4% ratio cost vs 32 KiB;
+# the warm-start prior absorbs most of the extra model-reset cost, and the
+# size contract vs the reference still holds at every file size)
 DEFAULT_DELTA = 16
 DEFAULT_PRIOR_BUDGET = 1 << 17
 
@@ -195,3 +198,91 @@ def compute_crc(data: bytes) -> int:
 
 def is_rxt_archive(data: bytes) -> bool:
     return data[:4] == MAGIC
+
+
+# ---------------------------------------------------------------------------
+# Compact single-block variant ("RXT compact").
+#
+# The 32-byte container header + 4-byte block length would erase the coding
+# win on small inputs (an RXT v2 stream at (8,20,22) beats the reference's
+# (8,30,32) stream by only a handful of bytes on high-entropy files).  The
+# compact variant frames ONE v2 block payload with a 5-7 byte header:
+#
+#   [0xB3][ver<<4 | cfg][varint orig_len][crc16][payload]
+#
+# cfg indexes COMPACT_CONFIGS (params + adaptation delta; uniform init —
+# the 512-byte prior never pays at compact sizes).  crc16 is the low half
+# of the same zlib crc32 the container stores: 2 bytes buys corruption
+# detection while keeping the header inside the measured ~7-byte budget
+# that lets the compact archive match or beat the reference stream on
+# EVERY corpus file (scripts/contract_study.py).
+# ---------------------------------------------------------------------------
+
+COMPACT_MAGIC = 0xB3
+COMPACT_VERSION = 1
+# (freq_bits, code_bits, delta) at symbol_bits 8; index = wire cfg id.
+COMPACT_CONFIGS = [
+    (20, 22, 2), (20, 22, 4), (20, 22, 8), (20, 22, 12),
+    (20, 22, 16), (20, 22, 32), (20, 22, 1), (20, 22, 64),
+]
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _read_varint(data: bytes, off: int) -> tuple[int, int]:
+    n = shift = 0
+    while True:
+        if off >= len(data) or shift > 56:
+            raise InvalidInputError()
+        b = data[off]
+        off += 1
+        n |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            return n, off
+
+
+def compact_config(cfg: int) -> tuple[Parameters, int]:
+    if not 0 <= cfg < len(COMPACT_CONFIGS):
+        raise InvalidInputError()
+    fb, cb, delta = COMPACT_CONFIGS[cfg]
+    return Parameters(8, fb, cb), delta
+
+
+def build_compact(cfg: int, orig_len: int, payload: bytes, crc: int) -> bytes:
+    compact_config(cfg)  # validates
+    head = bytes([COMPACT_MAGIC, (COMPACT_VERSION << 4) | cfg])
+    head += _varint(orig_len)
+    head += struct.pack("<H", crc & 0xFFFF)
+    return head + payload
+
+
+def is_compact_archive(data: bytes) -> bool:
+    return len(data) >= 2 and data[0] == COMPACT_MAGIC
+
+
+def parse_compact(archive: bytes) -> tuple[Parameters, int, int, int, bytes]:
+    """-> (params, delta, orig_len, crc16, payload); raises InvalidInputError."""
+    if len(archive) < 4 or archive[0] != COMPACT_MAGIC:
+        raise InvalidInputError()
+    if archive[1] >> 4 != COMPACT_VERSION:
+        raise InvalidInputError()
+    params, delta = compact_config(archive[1] & 0x0F)
+    orig_len, off = _read_varint(archive, 2)
+    if len(archive) < off + 2:
+        raise InvalidInputError()
+    (crc16,) = struct.unpack_from("<H", archive, off)
+    return params, delta, orig_len, crc16, archive[off + 2 :]
+
+
+def verify_crc16(crc16: int, data: bytes) -> None:
+    if zlib.crc32(data) & 0xFFFF != crc16:
+        raise InvalidInputError()

@@ -63,6 +63,18 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
             ctypes.c_int64,
         ]
+        lib.rdx_compress_v2.restype = ctypes.c_int64
+        lib.rdx_compress_v2.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.rdx_decompress_v2.restype = ctypes.c_int64
+        lib.rdx_decompress_v2.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64,
+        ]
         _LIB = lib
         return lib
 
@@ -92,6 +104,45 @@ def compress_bytes(
         raise InvalidInputError()
     if n == -2:  # pragma: no cover - capacity bound generous
         raise InvalidInputError()
+    return out[:n].tobytes()
+
+
+def compress_block_v2(
+    data: bytes, params: Parameters, prior_extra=None, delta: int = 1
+) -> bytes:
+    """Native RXT v2 block payload encode (oracle.compress_block semantics).
+
+    Fast host path for single-block/compact archives; bit-identical to
+    the oracle and the TPU kernels (differential-tested).
+    """
+    lib = get_lib()
+    cap = len(data) * 2 + 4096 + len(data) // 2
+    out = np.empty(cap, dtype=np.uint8)
+    arr, ptr = _prior_ptr(prior_extra)
+    n = lib.rdx_compress_v2(
+        data, len(data), out.ctypes.data_as(ctypes.c_void_p), cap,
+        params.symbol_bits, params.freq_bits, params.code_bits, ptr, delta,
+    )
+    if n < 0:
+        raise InvalidInputError()
+    return out[:n].tobytes()
+
+
+def decompress_block_v2(
+    payload: bytes, n_symbols: int, params: Parameters, prior_extra=None,
+    delta: int = 1,
+) -> bytes:
+    """Native RXT v2 block payload decode (stored-length termination)."""
+    lib = get_lib()
+    out = np.empty(max(n_symbols, 1), dtype=np.uint8)
+    arr, ptr = _prior_ptr(prior_extra)
+    n = lib.rdx_decompress_v2(
+        payload, len(payload), out.ctypes.data_as(ctypes.c_void_p),
+        max(n_symbols, 1), params.symbol_bits, params.freq_bits,
+        params.code_bits, ptr, delta, n_symbols,
+    )
+    if n < 0:
+        raise EofError() if n == -1 else InvalidInputError()
     return out[:n].tobytes()
 
 

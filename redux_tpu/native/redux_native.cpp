@@ -113,10 +113,13 @@ struct BitReader {
 };
 
 // Fenwick/BIT adaptive cumulative-frequency model (adaptive_tree.rs:11-146).
+// `delta` generalizes the reference's +1 adaptation increment (the RXT v2
+// container extension; semantics identical to redux_tpu.models.dense).
 struct FenwickModel {
   Params p;
   std::vector<uint64_t> tree;
   uint64_t count;
+  uint64_t delta = 1;
 
   explicit FenwickModel(const Params& params) : p(params) {
     size_t n = static_cast<size_t>(p.symbol_count);
@@ -171,10 +174,10 @@ struct FenwickModel {
     *hi = sumh + sumr;
   }
 
-  inline void update(uint64_t symbol) {  // 1-based +1 walk (adaptive_tree.rs:83-92)
+  inline void update(uint64_t symbol) {  // 1-based +delta walk (adaptive_tree.rs:83-92)
     if (count < p.freq_max) {
-      for (uint64_t i = symbol; i <= p.symbol_count; i += i & (~i + 1)) tree[i]++;
-      count++;
+      for (uint64_t i = symbol; i <= p.symbol_count; i += i & (~i + 1)) tree[i] += delta;
+      count += delta;
     }
   }
 
@@ -304,6 +307,89 @@ struct Codec {
 }  // namespace
 
 extern "C" {
+
+// ---- RXT v2 block payloads -------------------------------------------------
+//
+// The v2 payload (redux_tpu.oracle.compress_block) differs from the
+// reference stream format: no EOF symbol / extra-bit drain; instead a
+// minimal 2-bit terminator tq = ceil(low / quarter), and the decoder reads
+// ZERO bits past the physical end of the payload (stored-length
+// termination).  Same WNC coder and (+delta, freeze) model otherwise.
+
+int64_t rdx_compress_v2(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap,
+                        int sb, int fb, int cb, const uint16_t* extra,
+                        int64_t delta) {
+  Params p;
+  if (!Params::make(sb, fb, cb, &p) || sb != 8 || delta < 1) return -1;
+  std::vector<uint8_t> buf;
+  buf.reserve(static_cast<size_t>(n) + 64);
+  BitWriter w(buf);
+  FenwickModel m(p);
+  m.init_prior(extra);  // uniform when extra == NULL (freq 1 per symbol)
+  m.delta = static_cast<uint64_t>(delta);
+  if (m.count >= p.freq_max) return -1;  // prior leaves no adaptation headroom
+  Codec c(p);
+  for (int64_t i = 0; i < n; i++) c.compress_symbol(m, in[i], w);
+  // 2-bit terminator (oracle.compress_block): tq = ceil(low / quarter).
+  uint64_t tq = (c.low + p.code_one_fourth - 1) / p.code_one_fourth;
+  c.put_bit((tq >> 1) != 0, w);
+  c.put_bit((tq & 1) != 0, w);
+  w.flush();
+  if (static_cast<int64_t>(buf.size()) > cap) return -2;
+  std::memcpy(out, buf.data(), buf.size());
+  return static_cast<int64_t>(buf.size());
+}
+
+int64_t rdx_decompress_v2(const uint8_t* in, int64_t n, uint8_t* out,
+                          int64_t cap, int sb, int fb, int cb,
+                          const uint16_t* extra, int64_t delta, int64_t nsyms) {
+  Params p;
+  if (!Params::make(sb, fb, cb, &p) || sb != 8 || delta < 1 || nsyms < 0)
+    return -1;
+  if (nsyms > cap) return -2;
+  BitReader r(in, static_cast<size_t>(n));
+  FenwickModel m(p);
+  m.init_prior(extra);
+  m.delta = static_cast<uint64_t>(delta);
+  if (m.count >= p.freq_max) return -1;
+  // Zero-padded single-bit read (the v2 termination contract).
+  auto get1z = [&r]() -> uint64_t {
+    int b = r.get1();
+    return b < 0 ? 0u : static_cast<uint64_t>(b);
+  };
+  uint64_t low = 0, high = p.code_max, z = 0;
+  for (int i = 0; i < p.code_bits; i++) z = (z << 1) | get1z();
+  for (int64_t t = 0; t < nsyms; t++) {
+    uint64_t range = high - low + 1;
+    uint64_t count = m.total();
+    uint64_t value = ((z - low + 1) * count - 1) / range;
+    uint64_t sym, flo, fhi;
+    if (!m.get_symbol(value, &sym, &flo, &fhi)) return -1;
+    if (sym >= p.symbol_eof) return -1;  // EOF symbol is not coded in v2
+    high = low + (range * fhi) / count - 1;
+    low = low + (range * flo) / count;
+    for (;;) {
+      if (high < p.code_half) {
+        // nothing
+      } else if (low >= p.code_half) {
+        z -= p.code_half;
+        low -= p.code_half;
+        high -= p.code_half;
+      } else if (low >= p.code_one_fourth && high < p.code_three_fourths) {
+        z -= p.code_one_fourth;
+        low -= p.code_one_fourth;
+        high -= p.code_one_fourth;
+      } else {
+        break;
+      }
+      low <<= 1;
+      high = (high << 1) + 1;
+      z = (z << 1) | get1z();
+    }
+    out[t] = static_cast<uint8_t>(sym);
+  }
+  return nsyms;
+}
 
 // Compress `n` bytes into a malloc-free caller interface: output written to
 // a std::vector internally and copied into `out` (capacity `cap`).

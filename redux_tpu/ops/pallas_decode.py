@@ -60,12 +60,11 @@ from ..params import Parameters
 from . import wide32
 
 import os as _os
-LANES = int(_os.environ.get("REDUX_TPU_LANES", "256"))  # lanes per kernel program (ILP width)
+LANES = int(_os.environ.get("REDUX_TPU_LANES", "512"))  # lanes per kernel program (ILP width)
 EPOCH = 32  # symbols per inner loop
 SLAB = 32  # words per stream slab
 RING_SLABS = 4  # resident slabs per lane; refill every 2 epochs
-S_PAD = 288  # model rows incl. padding (258 live), multiple of 32 (sweep chunks)
-SWEEP = 32  # cdf rows per fused sweep chunk (4 vregs)
+S_PAD = 264  # model rows incl. padding (258 live), multiple of 8
 
 i32 = jnp.int32
 u32 = jnp.uint32

@@ -220,3 +220,37 @@ def decode_blocks_pallas_sharded(
             words_t, lens_row, init_col, params, k, int(delta), mesh
         )
         return out[:k, :b].T  # (B, k) uint8
+
+
+@functools.partial(jax.jit, static_argnames=("params", "n_words", "delta", "mesh"))
+def _encode_ranked_sharded(syms, lens, init_cum, params, n_words, delta, mesh):
+    from ..ops.pallas_encode import encode_blocks_ranked
+
+    spec = P("dp")
+    return jax.shard_map(
+        lambda s, l, ic: encode_blocks_ranked(s, l, ic, params, n_words, delta),
+        mesh=mesh,
+        in_specs=(spec, spec, P()),
+        out_specs=(spec, spec, spec),
+        check_vma=False,
+    )(syms, lens, init_cum)
+
+
+def encode_blocks_ranked_sharded(
+    syms, lens, init_cum, params: Parameters, n_words: int, mesh: Mesh,
+    delta: int = 1,
+):
+    """Sharded production encode: rank precompute + streaming coder kernel,
+    both inside the shard (zero collectives).  Lanes padded to whole
+    per-device kernel tiles; same contract as ``encode_blocks_ranked``."""
+    import jax.numpy as jnp
+
+    b = syms.shape[0]
+    q = pallas_lane_quantum(mesh)
+    b_pad = ((b + q - 1) // q) * q
+    syms_p = jnp.pad(syms.astype(jnp.int32), ((0, b_pad - b), (0, 0)))
+    lens_p = jnp.pad(lens.astype(jnp.int32), (0, b_pad - b))
+    words, blen, ovf = _encode_ranked_sharded(
+        syms_p, lens_p, init_cum, params, n_words, int(delta), mesh
+    )
+    return words[:b], blen[:b], ovf[:b]

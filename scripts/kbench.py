@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--profile", default="", help="jax.profiler trace dir")
     ap.add_argument("--enc-only", action="store_true")
     ap.add_argument("--dec-only", action="store_true")
+    ap.add_argument("--mkernel", action="store_true",
+                    help="time the model-in-kernel encoder instead of ranked")
+    ap.add_argument("--ranks", action="store_true",
+                    help="time the rank precompute + streaming encode kernel")
     args = ap.parse_args()
 
     params = Parameters.tpu_wide()
@@ -81,8 +85,67 @@ def main():
     )
     from redux_tpu.ops.pallas_encode import encode_blocks_pallas_m
 
-    def encode_step():
-        return encode_blocks_pallas_m(syms, lens, icj, params, n_words, args.delta)
+    if args.ranks:
+        from redux_tpu.ops.pallas_encode import encode_blocks_pallas
+        from redux_tpu.ops.ranks import precompute_encode_model
+
+        def rank_step():
+            return precompute_encode_model(
+                syms, lens, icj, params.freq_max, delta=args.delta
+            )[:3]
+
+        pre = rank_step()
+        sync(*pre)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            pre = rank_step()
+        sync(*pre)
+        t_rank = (time.perf_counter() - t0) / args.iters
+        print(f"ranks: {t_rank*1e3:.1f} ms  {len(data)/t_rank/1e9:.3f} GB/s")
+        lo, hi, tot = pre
+
+        def enc2_step():
+            return encode_blocks_pallas(lo, hi, tot, lens, params, n_words)
+
+        w2 = enc2_step()
+        sync(*w2)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            w2 = enc2_step()
+        sync(*w2)
+        t_e2 = (time.perf_counter() - t0) / args.iters
+        print(f"stream-encode: {t_e2*1e3:.1f} ms  {len(data)/t_e2/1e9:.3f} GB/s")
+        print(f"ranks+stream total: {len(data)/(t_rank+t_e2)/1e9:.3f} GB/s")
+        # differential: must be bit-identical to the model-in-kernel path
+        wm, blm, ovfm = encode_blocks_pallas_m(syms, lens, icj, params, n_words,
+                                               args.delta)
+        ws, bls, ovfs = w2
+        blm_n = np.asarray(blm)[:n_blocks]
+        bls_n = np.asarray(bls)[:n_blocks]
+        lens_ok = bool((blm_n == bls_n).all())
+        wm_n, ws_n = np.asarray(wm)[:n_blocks], np.asarray(ws)[:n_blocks]
+        # Words past each lane's byte length are unspecified (stale slab
+        # content differs between paths) — mask them out.
+        wmask = (
+            np.arange(wm_n.shape[1])[None, :] < ((blm_n[:, None] + 3) // 4)
+        )
+        words_ok = bool((np.where(wmask, wm_n, 0) == np.where(wmask, ws_n, 0)).all())
+        print(f"ranks-path vs m-kernel: lens_ok={lens_ok} words_ok={words_ok}")
+        if not (lens_ok and words_ok):
+            bad = np.nonzero(blm_n != bls_n)[0] if not lens_ok else np.nonzero(
+                (np.where(wmask, wm_n, 0) != np.where(wmask, ws_n, 0)).any(axis=1)
+            )[0]
+            print(f"first differing lanes: {bad[:5]}  lens m/s: "
+                  f"{blm_n[bad[:5]]} {bls_n[bad[:5]]}")
+
+    from redux_tpu.ops.pallas_encode import encode_blocks_ranked
+
+    if args.mkernel:
+        def encode_step():
+            return encode_blocks_pallas_m(syms, lens, icj, params, n_words, args.delta)
+    else:
+        def encode_step():
+            return encode_blocks_ranked(syms, lens, icj, params, n_words, args.delta)
 
     t0 = time.perf_counter()
     words, byte_lens, ovf = encode_step()
@@ -106,12 +169,19 @@ def main():
 
     bl_np = np.asarray(byte_lens)[:n_blocks]
     w_np = np.asarray(words)[:n_blocks]
+    blk_bytes = np.minimum(k, len(data) - k * np.arange(n_blocks))
+    raw = np.asarray(ovf)[:n_blocks].astype(bool) | (bl_np >= blk_bytes)
+    if raw.any():
+        print(f"raw blocks: {int(raw.sum())}", file=sys.stderr)
+    bl_np = np.where(raw, 0, bl_np)
     wcap = max(4, int(-(-bl_np.max() // 4)) + 2)
     wn_pad, bp = pad_geometry(wcap, n_blocks)
     order = np.argsort(bl_np, kind="stable")
     words_t = np.zeros((wn_pad, bp), dtype=np.uint32)
     lens_row = np.zeros((1, bp), dtype=np.int32)
     for lane, i in enumerate(order):
+        if raw[i]:
+            continue
         nwi = (bl_np[i] + 3) // 4
         words_t[:nwi, lane] = w_np[i, :nwi]
         lens_row[0, lane] = lens_np[i]
@@ -140,11 +210,16 @@ def main():
             o2 = decode_step()
             sync(o2)
 
-    # quick correctness spot check
+    # quick correctness spot check (raw blocks spliced from the source)
     dec_np = np.asarray(out)
     got = np.zeros((n_blocks, k), dtype=np.uint8)
     for lane, i in enumerate(order):
-        got[i] = dec_np[:k, lane]
+        if raw[i]:
+            got[i, : blk_bytes[i]] = np.frombuffer(
+                data[i * k : i * k + blk_bytes[i]], np.uint8
+            )
+        else:
+            got[i] = dec_np[:k, lane]
     ok = got.reshape(-1)[: len(data)].tobytes() == data
     print(f"roundtrip ok: {ok}")
     if not ok:

@@ -13,6 +13,9 @@ import pathlib
 # which is far too slow for the dispatch-heavy unit tests and must be
 # reserved for benchmarks.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Small kernel lane width on CPU: interpret-mode cost scales with padded
+# lanes; semantics are lane-width independent (the TPU default is wider).
+os.environ.setdefault("REDUX_TPU_LANES", "128")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

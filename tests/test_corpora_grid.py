@@ -101,27 +101,58 @@ def test_corpus_grid(corpus, params):
     _run_corpus(corpus, params)
 
 
-@pytest.mark.slow
-def test_size_contract_vs_reference():
-    """encode_auto never exceeds the reference's size on any corpus file,
-    and the RXT candidate wins on its own for files > 256 KiB
-    (BASELINE.md size target; reference stream = main.rs:108 config)."""
+_REF_SIZE_CACHE = "/tmp/redux_tpu_ref_sizes.json"
+
+
+def _reference_sizes(corpora):
+    """Per-file reference stream sizes, cached across runs (one native
+    pass of the whole corpus set takes ~a minute; sizes are deterministic)."""
+    import json
+
     from redux_tpu import native
 
+    try:
+        cache = json.load(open(_REF_SIZE_CACHE))
+    except (OSError, ValueError):
+        cache = {}
     ref_params = Parameters.default()
-    for corpus in ("calgary", "canterbury", "large"):
+    dirty = False
+    for corpus in corpora:
         for name, data in _corpus_files(corpus):
-            ref = native.compress_bytes(data, ref_params)
-            ours = api.encode_auto(data)
-            assert len(ours) <= len(ref), (
-                f"{corpus}/{name}: {len(ours)} > reference {len(ref)}"
+            key = f"{corpus}/{name}:{len(data)}"
+            if key not in cache:
+                cache[key] = len(native.compress_bytes(data, ref_params))
+                dirty = True
+            yield corpus, name, data, cache[key]
+    if dirty:
+        json.dump(cache, open(_REF_SIZE_CACHE, "w"))
+
+
+@pytest.mark.slow
+def test_size_contract_vs_reference():
+    """Every encode_auto candidate is an RXT format (block container or
+    compact single-block — no reference-format serial fallback since round
+    3), and the winner never exceeds the reference's stream size on ANY
+    calgary/canterbury/large file; for files > 256 KiB the block-parallel
+    container wins on its own (BASELINE.md size target; reference stream =
+    the main.rs:108 config)."""
+    for corpus, name, data, ref in _reference_sizes(("calgary", "canterbury", "large")):
+        ours = api.encode_auto(data)
+        assert len(ours) <= ref, f"{corpus}/{name}: {len(ours)} > reference {ref}"
+        # The chosen candidate must be one of OUR formats.
+        assert container.is_rxt_archive(ours) or container.is_compact_archive(ours)
+        assert api.decode_auto(ours) == data, f"{corpus}/{name}: round-trip"
+        if len(data) > api._COMPACT_MAX:
+            # Beyond the compact range the block-parallel container must
+            # win on its own (encode_auto's only candidates there are the
+            # container at the default and at 16 KiB blocks).
+            rxt = min(
+                len(api.encode(data)), len(api.encode(data, block_size=1 << 14))
             )
-            if len(data) > (1 << 18):
-                rxt = api.encode(data)
-                assert len(rxt) <= len(ref), (
-                    f"{corpus}/{name}: RXT candidate {len(rxt)} > reference "
-                    f"{len(ref)} (must win without the serial fallback)"
-                )
+            assert rxt <= ref, (
+                f"{corpus}/{name}: block container {rxt} > reference "
+                f"{ref} (must win without the compact candidate)"
+            )
 
 
 def test_determinism_same_archive():
