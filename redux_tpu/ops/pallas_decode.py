@@ -60,7 +60,15 @@ from ..params import Parameters
 from . import wide32
 
 import os as _os
-LANES = int(_os.environ.get("REDUX_TPU_LANES", "512"))  # lanes per kernel program (ILP width)
+# Total lanes per kernel program.  Internally laid out as (G, 128): the
+# sublane dimension carries G = LANES/128 independent lane GROUPS, so the
+# per-lane interval/bit math runs on full (G, 128) vregs instead of
+# 1/8-occupied (1, LANES) rows — measured the decisive decode win (the
+# scalar chain was stall-bound; see docs/DESIGN_NOTES.md).
+LANES = int(_os.environ.get("REDUX_TPU_DLANES",
+                            _os.environ.get("REDUX_TPU_LANES", "1024")))
+LN = 128  # hardware lane width (minor dim)
+G = max(1, LANES // LN)  # sublane-packed lane groups
 EPOCH = 32  # symbols per inner loop
 SLAB = 32  # words per stream slab
 RING_SLABS = 4  # resident slabs per lane; refill every 2 epochs
@@ -89,31 +97,32 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
 
     def kernel(init_ref, lens_ref, words_ref, out_ref,
                cdf_s, ring_s, stage_s, nl_s, smin_s, smax_s):
-        cdf_s[:, :] = init_ref[:, :] + jnp.zeros((S_PAD, LANES), i32)
-        lens = lens_ref[0, :][None, :]
+        # All per-lane state is (G, LN); row-indexed arrays are (rows, G, LN).
+        cdf_s[:, :, :] = init_ref[:, :, :] + jnp.zeros((S_PAD, G, LN), i32)
+        lens = lens_ref[:, :]
         # Ring init: slabs 0..3 of every lane (uniform static copies).
-        ring_s[:, :] = words_ref[0 : RING_SLABS * SLAB, :]
-        nl_s[0, :] = jnp.full((LANES,), RING_SLABS, i32)  # next slab to load
+        ring_s[:, :, :] = words_ref[0 : RING_SLABS * SLAB, :, :]
+        nl_s[:, :] = jnp.full((G, LN), RING_SLABS, i32)  # next slab to load
 
         def pull_word(wq):
             """ring[wq mod 128] per lane — two-level select over the ring.
 
-            Level 1 picks the lane's slab with RING_SLABS (32, LANES)
+            Level 1 picks the lane's slab with RING_SLABS (SLAB, G, LN)
             selects; level 2 one-hot-reduces within the 32-row slab —
-            ~3x fewer vector ops than a flat (128, LANES) one-hot.  The
+            ~3x fewer vector ops than a flat 128-row one-hot.  The
             reduction runs on an i32 bitcast view (Mosaic has no
             unsigned reductions); exactly one row is selected, so the
             sum reproduces the bit pattern regardless of sign.
             """
             wql = wq & i32(RING_SLABS * SLAB - 1)
-            slab = wql >> i32(5)
-            ring_i = jax.lax.bitcast_convert_type(ring_s[:, :], i32)
-            acc = ring_i[0:SLAB, :]
+            slab = (wql >> i32(5))[None]
+            ring_i = jax.lax.bitcast_convert_type(ring_s[:, :, :], i32)
+            acc = ring_i[0:SLAB]
             for j in range(1, RING_SLABS):
-                acc = jnp.where(slab == j, ring_i[j * SLAB : (j + 1) * SLAB, :], acc)
-            sub_rows = jax.lax.broadcasted_iota(i32, (SLAB, LANES), 0)
-            m = sub_rows == (wql & i32(SLAB - 1))
-            picked = jnp.sum(jnp.where(m, acc, i32(0)), axis=0, dtype=i32)[None, :]
+                acc = jnp.where(slab == j, ring_i[j * SLAB : (j + 1) * SLAB], acc)
+            sub_rows = jax.lax.broadcasted_iota(i32, (SLAB, G, LN), 0)
+            m = sub_rows == (wql & i32(SLAB - 1))[None]
+            picked = jnp.sum(jnp.where(m, acc, i32(0)), axis=0, dtype=i32)
             return jax.lax.bitcast_convert_type(picked, u32)
 
         def read_bits(state, m):
@@ -135,31 +144,44 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
             val = jnp.where(need, (v1 << m2c) | v2, v1)
             return val, (cur, avail, wq)
 
+        # Perturbation probes (dev-only, via REDUX_TPU_DECODE_PROBE):
+        # deliberately WRONG variants that skip one stage so its share of
+        # the step time can be measured on hardware.  Never set in
+        # production; roundtrip checks fail loudly when it is.
+        probe = _os.environ.get("REDUX_TPU_DECODE_PROBE", "")
+
         def step(t, stage_row, carry):
             low, high, z, cur, avail, wq, count_i = carry
             active = t < lens
 
-            cdf = cdf_s[:, :]
+            cdf = cdf_s[:, :, :]
             rngv = high - low + u32(1)
             count = count_i.astype(u32)
             # value = ((z+1)*count - 1) // rng  (codec.rs:131, z = pending-low)
             value = wide32.muldiv_sub1(z + u32(1), count, rngv)
             # min via i32 (Mosaic lacks unsigned min); both < 2**20.
             value = jnp.minimum(value.astype(i32), count_i - i32(1))
-            b = cdf <= value
-            sym = jnp.sum(b.astype(i32), axis=0, dtype=i32)[None, :] - i32(1)
-            flo = jnp.max(jnp.where(b, cdf, i32(0)), axis=0)[None, :].astype(u32)
-            # Sentinel must exceed EVERY cumulative entry: the freeze can
-            # overshoot to freq_max + delta - 1 (see tests/test_freeze_overshoot).
-            fhi = jnp.min(
-                jnp.where(b, i32(freq_max + delta), cdf), axis=0
-            )[None, :].astype(u32)
-            # Adaptation: +delta above the symbol while not frozen
-            # (adaptive_linear.rs:33-39); the running total rides in a
-            # register instead of re-reading row S every step.
-            upd = active & (count_i < i32(freq_max))
-            delta_v = jnp.where(upd, i32(delta), i32(0))
-            cdf_s[:, :] = cdf + jnp.where(b, i32(0), delta_v)
+            if probe == "nosweep":
+                sym = value & i32(255)
+                flo = value.astype(u32)
+                fhi = flo + u32(1)
+                delta_v = jnp.where(active, i32(delta), i32(0))
+            else:
+                b = cdf <= value[None]
+                sym = jnp.sum(b.astype(i32), axis=0, dtype=i32) - i32(1)
+                flo = jnp.max(jnp.where(b, cdf, i32(0)), axis=0).astype(u32)
+                # Sentinel must exceed EVERY cumulative entry: the freeze can
+                # overshoot to freq_max + delta - 1 (tests/test_freeze_overshoot).
+                fhi = jnp.min(
+                    jnp.where(b, i32(freq_max + delta), cdf), axis=0
+                ).astype(u32)
+                # Adaptation: +delta above the symbol while not frozen
+                # (adaptive_linear.rs:33-39); the running total rides in a
+                # register instead of re-reading row S every step.
+                upd = active & (count_i < i32(freq_max))
+                delta_v = jnp.where(upd, i32(delta), i32(0))
+                if probe != "noupdate":
+                    cdf_s[:, :, :] = cdf + jnp.where(b, i32(0), delta_v[None])
             count_i = count_i + delta_v
 
             # Narrow (codec.rs:58-60); z moves with low.
@@ -190,13 +212,16 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
                 high1,
             )
             n = n1 + n3
-            bits, (cur, avail, wq) = read_bits((cur, avail, wq), n)
+            if probe == "noread":
+                bits = n.astype(u32)
+            else:
+                bits, (cur, avail, wq) = read_bits((cur, avail, wq), n)
             z = jnp.where(active, ((z << n.astype(u32)) | bits) & u32(cmax), z)
 
-            stage_s[pl.ds(stage_row, 1), :] = jnp.where(active, sym, i32(0))
+            stage_s[pl.ds(stage_row, 1), :, :] = jnp.where(active, sym, i32(0))[None]
             return low, high, z, cur, avail, wq, count_i
 
-        ring_rows = jax.lax.broadcasted_iota(i32, (RING_SLABS * SLAB, LANES), 0)
+        ring_rows = jax.lax.broadcasted_iota(i32, (RING_SLABS * SLAB, G, LN), 0)
 
         def refill_sweep(cursor_slab):
             # Statically-unrolled GROUP walk (4 slabs = one full ring image
@@ -205,7 +230,7 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
             # only ring slots whose old slab is already consumed (slab - 4
             # < cursor).  Groups outside the scalar span are skipped.
             want_hi = cursor_slab + i32(RING_SLABS)  # exclusive
-            smin_s[0, 0] = jnp.min(nl_s[0, :])
+            smin_s[0, 0] = jnp.min(nl_s[:, :])
             smax_s[0, 0] = jnp.max(want_hi)
             n_groups = n_slabs // RING_SLABS
             for g in range(1, n_groups):
@@ -213,16 +238,16 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
 
                 @pl.when((smin_s[0, 0] < gend) & (smax_s[0, 0] > gstart))
                 def _(g=g, gstart=gstart, gend=gend):
-                    nl = nl_s[0, :][None, :]
+                    nl = nl_s[:, :][None]
                     slab_row = i32(gstart) + (ring_rows >> i32(5))
-                    m = (slab_row >= nl) & (slab_row < want_hi)
+                    m = (slab_row >= nl) & (slab_row < want_hi[None])
                     blk = words_ref[
-                        g * RING_SLABS * SLAB : (g + 1) * RING_SLABS * SLAB, :
+                        g * RING_SLABS * SLAB : (g + 1) * RING_SLABS * SLAB, :, :
                     ]
-                    ring_s[:, :] = jnp.where(m, blk, ring_s[:, :])
-                    hit = (nl < gend) & (want_hi > gstart)
-                    new_nl = jnp.maximum(nl, jnp.minimum(want_hi, i32(gend)))
-                    nl_s[0, :] = jnp.where(hit, new_nl, nl)[0, :]
+                    ring_s[:, :, :] = jnp.where(m, blk, ring_s[:, :, :])
+                    hit = (nl[0] < gend) & (want_hi > gstart)
+                    new_nl = jnp.maximum(nl[0], jnp.minimum(want_hi, i32(gend)))
+                    nl_s[:, :] = jnp.where(hit, new_nl, nl[0])
 
         def epoch(e, carry):
             # Steps past k are masked by ``t < lens`` (lens <= k), so the
@@ -236,7 +261,7 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
                     0, EPOCH, lambda ii, c: step(t0 + ii, ii, c), carry
                 )
             # Store this epoch's symbols (one 32-row uint8 block).
-            out_ref[pl.ds(e * EPOCH, EPOCH), :] = stage_s[:, :].astype(jnp.uint8)
+            out_ref[pl.ds(e * EPOCH, EPOCH), :, :] = stage_s[:, :, :].astype(jnp.uint8)
 
             # Refill every second epoch: 64 steps consume < 2 slabs, and
             # the sweep tops lanes back up to RING_SLABS resident slabs.
@@ -246,20 +271,20 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
             return carry
 
         # Prime: z = first code_bits bits (codec.rs:124-127).
-        cur0 = jnp.zeros((1, LANES), u32)
-        avail0 = jnp.zeros((1, LANES), i32)
-        wq0 = jnp.zeros((1, LANES), i32)
+        cur0 = jnp.zeros((G, LN), u32)
+        avail0 = jnp.zeros((G, LN), i32)
+        wq0 = jnp.zeros((G, LN), i32)
         z0, (cur0, avail0, wq0) = read_bits(
-            (cur0, avail0, wq0), jnp.full((1, LANES), cb, i32)
+            (cur0, avail0, wq0), jnp.full((G, LN), cb, i32)
         )
         carry = (
-            jnp.zeros((1, LANES), u32),  # low  (codec.rs:30)
-            jnp.full((1, LANES), cmax, u32),  # high (codec.rs:31)
+            jnp.zeros((G, LN), u32),  # low  (codec.rs:30)
+            jnp.full((G, LN), cmax, u32),  # high (codec.rs:31)
             z0,
             cur0,
             avail0,
             wq0,
-            cdf_s[S, :][None, :],  # running total (register copy of row S)
+            cdf_s[S, :, :],  # running total (register copy of row S)
         )
         jax.lax.fori_loop(0, n_epochs, epoch, carry)
 
@@ -273,32 +298,50 @@ def _decode_pallas_jit(words_t, lens, init_col, params: Parameters, k: int, delt
     k_pad = ((k + EPOCH - 1) // EPOCH) * EPOCH
     interp = jax.default_backend() == "cpu"
     kernel = _decode_kernel(params, k, delta, wn, unroll=not interp)
-    return pl.pallas_call(
+    # Relayout the caller's 2-D lane order into the kernel's sublane-packed
+    # (rows, G, LN) form: lane ell -> (tile, g, l) with
+    # ell = tile*G*LN + g*LN + l.  One device copy each way (~HBM speed),
+    # amortized over the whole kernel run.
+    w3 = (
+        words_t.reshape(wn, n_tiles, G, LN)
+        .transpose(0, 2, 1, 3)
+        .reshape(wn, G, n_tiles * LN)
+    )
+    l3 = (
+        lens.reshape(n_tiles, G, LN).transpose(1, 0, 2).reshape(G, n_tiles * LN)
+    )
+    i3 = init_col.reshape(S_PAD, 1, 1)
+    out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((S_PAD, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wn, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_PAD, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, LN), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wn, G, LN), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((k_pad, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (k_pad, G, LN), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
         # Mosaic compiles on TPU; everywhere else (CPU tests, the 8-device
         # virtual mesh) the interpreter executes the identical semantics.
         interpret=interp,
-        # words tile + its prefetch double-buffer + the (K,128) u8 output
-        # exceed the compiler's default 16 MiB scoped-vmem cap by a hair;
-        # v5e has headroom above it.
+        # words tile + its prefetch double-buffer + the (K, G, LN) u8
+        # output exceed the compiler's default scoped-vmem cap; v5e has
+        # headroom above it.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        out_shape=jax.ShapeDtypeStruct((k_pad, b), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((k_pad, G, n_tiles * LN), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((S_PAD, LANES), i32),  # cdf
-            pltpu.VMEM((RING_SLABS * SLAB, LANES), u32),  # stream ring
-            pltpu.VMEM((EPOCH, LANES), i32),  # symbol stage
-            pltpu.VMEM((1, LANES), i32),  # next-load slab index
+            pltpu.VMEM((S_PAD, G, LN), i32),  # cdf
+            pltpu.VMEM((RING_SLABS * SLAB, G, LN), u32),  # stream ring
+            pltpu.VMEM((EPOCH, G, LN), i32),  # symbol stage
+            pltpu.VMEM((G, LN), i32),  # next-load slab index
             pltpu.SMEM((1, 1), i32),  # refill span lo
             pltpu.SMEM((1, 1), i32),  # refill span hi
         ],
-    )(init_col, lens, words_t)
+    )(i3, l3, w3)
+    return (
+        out.reshape(k_pad, G, n_tiles, LN).transpose(0, 2, 1, 3).reshape(k_pad, b)
+    )
 
 
 def pad_geometry(wn: int, b: int):

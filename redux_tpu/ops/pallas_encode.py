@@ -64,13 +64,18 @@ SLAB = 128  # words per dump slab: large slabs keep the statically-unrolled
 # 32 KiB blocks took ~13 min to compile; 128-word slabs compile fast)
 SLAB_SH = 7  # log2(SLAB)
 RING_PH = 8  # log2(RING) conditional roll phases
-from .pallas_decode import S_PAD  # shared model-row padding (288)
+LN = 128  # hardware lane width (minor dim)
+EG = max(1, LANES // LN)  # sublane-packed lane groups (streaming kernel);
+# the per-lane coder/emission math runs on full (EG, 128) vregs instead of
+# 1/8-occupied (1, LANES) rows — same layout win as the decode kernel.
+from .pallas_decode import S_PAD  # shared model-row padding
 
 i32 = jnp.int32
 u32 = jnp.uint32
 
 
-def _encode_kernel(params: Parameters, k: int, n_words: int, n_epochs: int):
+def _encode_kernel(params: Parameters, k: int, n_words: int, n_epochs: int,
+                   unroll: bool = True):
     cb = params.code_bits
     cmax = params.code_max
     half = params.code_half
@@ -79,22 +84,22 @@ def _encode_kernel(params: Parameters, k: int, n_words: int, n_epochs: int):
     def kernel(lens_ref, lo_ref, hi_ref, tot_ref, out_ref, blen_ref, ovf_ref,
                st_s, ring_s, nw_s, nd_s, acc_s, iv_s):
         e = pl.program_id(1)
-        lens = lens_ref[0, :][None, :]
+        lens = lens_ref[:, :]  # (EG, LN)
 
         @pl.when(e == 0)
         def _init():
             # iv rows: 0 low, 1 high, 2 pending, 3 ovf flag.
-            iv_s[0, :] = jnp.zeros((LANES,), u32) + u32(params.code_min)
-            iv_s[1, :] = jnp.zeros((LANES,), u32) + u32(cmax)
-            iv_s[2, :] = jnp.zeros((LANES,), u32)
-            iv_s[3, :] = jnp.zeros((LANES,), u32)
-            acc_s[0, :] = jnp.zeros((LANES,), u32)  # a0 (96-bit left-aligned)
-            acc_s[1, :] = jnp.zeros((LANES,), u32)  # a1
-            acc_s[2, :] = jnp.zeros((LANES,), u32)  # a2
-            acc_s[3, :] = jnp.zeros((LANES,), u32)  # accbits
-            nw_s[0, :] = jnp.zeros((LANES,), i32)  # words flushed (ring)
-            nd_s[0, :] = jnp.zeros((LANES,), i32)  # slabs dumped
-            ring_s[:, :] = jnp.zeros((RING, LANES), u32)
+            iv_s[0, :, :] = jnp.zeros((EG, LN), u32) + u32(params.code_min)
+            iv_s[1, :, :] = jnp.zeros((EG, LN), u32) + u32(cmax)
+            iv_s[2, :, :] = jnp.zeros((EG, LN), u32)
+            iv_s[3, :, :] = jnp.zeros((EG, LN), u32)
+            acc_s[0, :, :] = jnp.zeros((EG, LN), u32)  # a0 (96-bit left-aligned)
+            acc_s[1, :, :] = jnp.zeros((EG, LN), u32)  # a1
+            acc_s[2, :, :] = jnp.zeros((EG, LN), u32)  # a2
+            acc_s[3, :, :] = jnp.zeros((EG, LN), u32)  # accbits
+            nw_s[:, :] = jnp.zeros((EG, LN), i32)  # words flushed (ring)
+            nd_s[:, :] = jnp.zeros((EG, LN), i32)  # slabs dumped
+            ring_s[:, :, :] = jnp.zeros((RING, EG, LN), u32)
 
         def step(ii, carry):
             low, high, pending, a0, a1, a2, accbits, ovf, cnt = carry
@@ -102,9 +107,9 @@ def _encode_kernel(params: Parameters, k: int, n_words: int, n_epochs: int):
             active = t < lens
             is_term = t == lens
 
-            flo = lo_ref[pl.ds(ii, 1), :].astype(u32)
-            fhi = hi_ref[pl.ds(ii, 1), :].astype(u32)
-            count = jnp.maximum(tot_ref[pl.ds(ii, 1), :], i32(1)).astype(u32)
+            flo = lo_ref[pl.ds(ii, 1), :, :][0].astype(u32)
+            fhi = hi_ref[pl.ds(ii, 1), :, :][0].astype(u32)
+            count = jnp.maximum(tot_ref[pl.ds(ii, 1), :, :][0], i32(1)).astype(u32)
 
             # Interval narrowing (codec.rs:58-60) — exact wide arithmetic.
             rngv = high - low + u32(1)
@@ -177,39 +182,45 @@ def _encode_kernel(params: Parameters, k: int, n_words: int, n_epochs: int):
             # Both rows share one displacement: (2*ii) - cnt == (2*ii+1)
             # - (cnt+1), non-negative and non-decreasing over rows.
             disp = (i32(2) * ii - cnt).astype(u32)
-            st_s[pl.ds(2 * ii, 1), :] = w0
-            st_s[pl.ds(2 * ii + 1, 1), :] = w1
-            st_s[pl.ds(64 + 2 * ii, 1), :] = jnp.where(f1, disp, u32(0))
-            st_s[pl.ds(64 + 2 * ii + 1, 1), :] = jnp.where(f2, disp, u32(0))
-            st_s[pl.ds(128 + 2 * ii, 1), :] = f1.astype(u32)
-            st_s[pl.ds(128 + 2 * ii + 1, 1), :] = f2.astype(u32)
+            st_s[pl.ds(2 * ii, 1), :, :] = w0[None]
+            st_s[pl.ds(2 * ii + 1, 1), :, :] = w1[None]
+            st_s[pl.ds(64 + 2 * ii, 1), :, :] = jnp.where(f1, disp, u32(0))[None]
+            st_s[pl.ds(64 + 2 * ii + 1, 1), :, :] = jnp.where(f2, disp, u32(0))[None]
+            st_s[pl.ds(128 + 2 * ii, 1), :, :] = f1.astype(u32)[None]
+            st_s[pl.ds(128 + 2 * ii + 1, 1), :, :] = f2.astype(u32)[None]
             cnt = cnt + f1.astype(i32) + f2.astype(i32)
 
             return low2, high2, pending, a0, a1, a2, accbits, ovf, cnt
 
         carry = (
-            iv_s[0, :][None, :], iv_s[1, :][None, :], iv_s[2, :][None, :],
-            acc_s[0, :][None, :], acc_s[1, :][None, :], acc_s[2, :][None, :],
-            acc_s[3, :][None, :], iv_s[3, :][None, :],
-            jnp.zeros((1, LANES), i32),  # cnt: words staged this epoch
+            iv_s[0, :, :], iv_s[1, :, :], iv_s[2, :, :],
+            acc_s[0, :, :], acc_s[1, :, :], acc_s[2, :, :],
+            acc_s[3, :, :], iv_s[3, :, :],
+            jnp.zeros((EG, LN), i32),  # cnt: words staged this epoch
         )
-        carry = jax.lax.fori_loop(0, EPOCH, step, carry)
+        # Statically unrolled on TPU (static stage addressing); rolled
+        # fori_loop in interpret mode (XLA CPU compile-time blowup).
+        if unroll:
+            for ii in range(EPOCH):
+                carry = step(ii, carry)
+        else:
+            carry = jax.lax.fori_loop(0, EPOCH, step, carry)
         low, high, pending, a0, a1, a2, accbits, ovf, cnt = carry
-        iv_s[0, :] = low[0, :]
-        iv_s[1, :] = high[0, :]
-        iv_s[2, :] = pending[0, :]
-        iv_s[3, :] = ovf[0, :]
-        acc_s[0, :] = a0[0, :]
-        acc_s[1, :] = a1[0, :]
-        acc_s[2, :] = a2[0, :]
-        acc_s[3, :] = accbits[0, :]
+        iv_s[0, :, :] = low
+        iv_s[1, :, :] = high
+        iv_s[2, :, :] = pending
+        iv_s[3, :, :] = ovf
+        acc_s[0, :, :] = a0
+        acc_s[1, :, :] = a1
+        acc_s[2, :, :] = a2
+        acc_s[3, :, :] = accbits
 
         # ---- epoch epilogue: compact → rotate → merge → dump ------------
-        rows64 = jax.lax.broadcasted_iota(i32, (2 * EPOCH, LANES), 0)
+        rows64 = jax.lax.broadcasted_iota(i32, (2 * EPOCH, EG, LN), 0)
         c_tot = cnt
-        val = st_s[0 : 2 * EPOCH, :]
-        delta = st_s[64 : 64 + 2 * EPOCH, :].astype(i32)
-        valid = st_s[128 : 128 + 2 * EPOCH, :] != u32(0)
+        val = st_s[0 : 2 * EPOCH, :, :]
+        delta = st_s[64 : 64 + 2 * EPOCH, :, :].astype(i32)
+        valid = st_s[128 : 128 + 2 * EPOCH, :, :] != u32(0)
 
         def shift_up(a, n, fill):
             rolled = pltpu.roll(a, 2 * EPOCH - n, axis=0)
@@ -226,17 +237,19 @@ def _encode_kernel(params: Parameters, k: int, n_words: int, n_epochs: int):
             valid = m_in | (valid & ~move)
 
         # Rotate compacted words to ring offset nw (mod RING) per lane.
-        rot = jnp.concatenate([val, jnp.zeros((RING - 2 * EPOCH, LANES), u32)], axis=0)
-        nw0 = nw_s[0, :][None, :]
+        rot = jnp.concatenate(
+            [val, jnp.zeros((RING - 2 * EPOCH, EG, LN), u32)], axis=0
+        )
+        nw0 = nw_s[:, :]
         for kph in range(RING_PH):  # log2(RING) conditional roll phases
             sh = 1 << kph
-            cond = ((nw0 >> kph) & 1) == 1
+            cond = (((nw0 >> kph) & 1) == 1)[None]
             rot = jnp.where(cond, pltpu.roll(rot, sh, axis=0), rot)
-        ringrows = jax.lax.broadcasted_iota(i32, (RING, LANES), 0)
-        tgt = (ringrows - nw0) & i32(RING - 1)
-        write = tgt < c_tot
-        ring_s[:, :] = jnp.where(write, rot, ring_s[:, :])
-        nw_s[0, :] = (nw0 + c_tot)[0, :]
+        ringrows = jax.lax.broadcasted_iota(i32, (RING, EG, LN), 0)
+        tgt = (ringrows - nw0[None]) & i32(RING - 1)
+        write = tgt < c_tot[None]
+        ring_s[:, :, :] = jnp.where(write, rot, ring_s[:, :, :])
+        nw_s[:, :] = nw0 + c_tot
 
         def run_dumps(full_tail):
             # Statically-unrolled slab sweep (dynamically-addressed VMEM
@@ -244,38 +257,38 @@ def _encode_kernel(params: Parameters, k: int, n_words: int, n_epochs: int):
             # predicated by pl.when(any lane dumps this slab) cost two
             # vector ops when skipped).
             limit = (
-                nw_s[0, :][None, :] + (i32(SLAB - 1) if full_tail else i32(0))
+                nw_s[:, :] + (i32(SLAB - 1) if full_tail else i32(0))
             ) >> i32(SLAB_SH)
             for p in range(n_words // SLAB):
-                m = (nd_s[0, :][None, :] == p) & (p < limit)
+                m = (nd_s[:, :] == p) & (p < limit)
 
                 @pl.when(jnp.any(m))
                 def _(p=p, m=m):
                     slot = (p % (RING // SLAB)) * SLAB
-                    blk = ring_s[slot : slot + SLAB, :]
-                    out_ref[p * SLAB : (p + 1) * SLAB, :] = jnp.where(
-                        m, blk, out_ref[p * SLAB : (p + 1) * SLAB, :]
+                    blk = ring_s[slot : slot + SLAB, :, :]
+                    out_ref[p * SLAB : (p + 1) * SLAB, :, :] = jnp.where(
+                        m[None], blk, out_ref[p * SLAB : (p + 1) * SLAB, :, :]
                     )
-                    nd_s[0, :] = jnp.where(m[0, :], p + i32(1), nd_s[0, :])
+                    nd_s[:, :] = jnp.where(m, p + i32(1), nd_s[:, :])
 
         run_dumps(False)
 
         @pl.when(e == n_epochs - 1)
         def _finish():
             # Tail: remaining accbits (< 32) left-aligned in a0 — one word.
-            accb = acc_s[3, :][None, :]
-            a0v = acc_s[0, :][None, :]
-            nw0f = nw_s[0, :][None, :]
+            accb = acc_s[3, :, :]
+            a0v = acc_s[0, :, :]
+            nw0f = nw_s[:, :]
             has_tail = accb > u32(0)
             # merge the single tail word at ring row nw mod RING
             tgtrow = nw0f & i32(RING - 1)
-            m = (ringrows == tgtrow) & has_tail
-            ring_s[:, :] = jnp.where(m, a0v, ring_s[:, :])
-            nw_s[0, :] = (nw0f + has_tail.astype(i32))[0, :]
+            m = (ringrows == tgtrow[None]) & has_tail[None]
+            ring_s[:, :, :] = jnp.where(m, a0v[None], ring_s[:, :, :])
+            nw_s[:, :] = nw0f + has_tail.astype(i32)
             # byte length BEFORE tail-word padding (v2: bits -> bytes)
             bits = nw0f.astype(i32) * i32(32) + accb.astype(i32)
-            blen_ref[0, :] = ((bits + i32(7)) >> i32(3))[0, :]
-            ovf_ref[0, :] = iv_s[3, :].astype(i32)
+            blen_ref[:, :] = (bits + i32(7)) >> i32(3)
+            ovf_ref[:, :] = iv_s[3, :, :].astype(i32)
             run_dumps(True)
 
     return kernel
@@ -288,38 +301,56 @@ def _encode_pallas_jit(lo_t, hi_t, tot_t, lens, params: Parameters, n_words: int
     n_epochs = k_pad // EPOCH
     k = k_pad  # steps cover t in [0, k_pad); callers pad past lens
     nw_pad = ((n_words + SLAB - 1) // SLAB) * SLAB
-    kernel = _encode_kernel(params, k, nw_pad, n_epochs)
+    interp = jax.default_backend() == "cpu"
+    kernel = _encode_kernel(params, k, nw_pad, n_epochs, unroll=not interp)
+
+    # Sublane-packed relayout: lane ell -> (tile, g, l) with
+    # ell = tile*EG*LN + g*LN + l (one device copy each way).
+    def to3(x):
+        return (
+            x.reshape(k_pad, n_tiles, EG, LN)
+            .transpose(0, 2, 1, 3)
+            .reshape(k_pad, EG, n_tiles * LN)
+        )
+
+    l3 = lens.reshape(n_tiles, EG, LN).transpose(1, 0, 2).reshape(EG, n_tiles * LN)
     out, blen, ovf = pl.pallas_call(
         kernel,
         grid=(n_tiles, n_epochs),
-        interpret=jax.default_backend() == "cpu",
+        interpret=interp,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
-            pl.BlockSpec((1, LANES), lambda i, e: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((EPOCH, LANES), lambda i, e: (e, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((EPOCH, LANES), lambda i, e: (e, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((EPOCH, LANES), lambda i, e: (e, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((EG, LN), lambda i, e: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((EPOCH, EG, LN), lambda i, e: (e, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((EPOCH, EG, LN), lambda i, e: (e, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((EPOCH, EG, LN), lambda i, e: (e, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((nw_pad, LANES), lambda i, e: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i, e: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda i, e: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nw_pad, EG, LN), lambda i, e: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((EG, LN), lambda i, e: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((EG, LN), lambda i, e: (0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nw_pad, b), jnp.uint32),
-            jax.ShapeDtypeStruct((1, b), jnp.int32),
-            jax.ShapeDtypeStruct((1, b), jnp.int32),
+            jax.ShapeDtypeStruct((nw_pad, EG, b // EG), jnp.uint32),
+            jax.ShapeDtypeStruct((EG, b // EG), jnp.int32),
+            jax.ShapeDtypeStruct((EG, b // EG), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((192, LANES), u32),  # stage: 64 words + 64 disp + 64 valid
-            pltpu.VMEM((RING, LANES), u32),  # ring
-            pltpu.VMEM((1, LANES), i32),  # nw
-            pltpu.VMEM((1, LANES), i32),  # nd
-            pltpu.VMEM((4, LANES), u32),  # acc a0..a2 + accbits
-            pltpu.VMEM((4, LANES), u32),  # low, high, pending, ovf
+            pltpu.VMEM((192, EG, LN), u32),  # stage: 64 words + 64 disp + 64 valid
+            pltpu.VMEM((RING, EG, LN), u32),  # ring
+            pltpu.VMEM((EG, LN), i32),  # nw
+            pltpu.VMEM((EG, LN), i32),  # nd
+            pltpu.VMEM((4, EG, LN), u32),  # acc a0..a2 + accbits
+            pltpu.VMEM((4, EG, LN), u32),  # low, high, pending, ovf
         ],
-    )(lens, lo_t, hi_t, tot_t)
-    return out, blen, ovf
+    )(l3, to3(lo_t), to3(hi_t), to3(tot_t))
+    # Back to the caller's 2-D lane order.
+    words = (
+        out.reshape(nw_pad, EG, n_tiles, LN).transpose(0, 2, 1, 3).reshape(nw_pad, b)
+    )
+    blen2 = blen.reshape(EG, n_tiles, LN).transpose(1, 0, 2).reshape(1, b)
+    ovf2 = ovf.reshape(EG, n_tiles, LN).transpose(1, 0, 2).reshape(1, b)
+    return words, blen2, ovf2
 
 
 def encode_blocks_pallas(lo, hi, tot, lens, params: Parameters, n_words: int):

@@ -4,10 +4,19 @@ Weak scaling: fixed blocks-per-device, mesh sizes 1..8 (virtual CPU
 devices; real pods swap the mesh for TPU chips/hosts with the identical
 shard_map program).  Efficiency(N) = throughput(N) / (N * throughput(1)).
 
+Round-3 methodology fixes (the round-2 artifact showed 0.58 at N=2):
+
+* The rank precompute now runs INSIDE the shard (the production
+  composition, parallel/mesh.py) — round 2 ran it outside, so XLA
+  resharded its outputs between program segments.
+* XLA:CPU intra-op threading is pinned to one thread per device
+  (--xla_cpu_multi_thread_eigen=false, 1 intra-op thread): otherwise the
+  N=1 "single device" silently uses every host core and the weak-scaling
+  denominator is wrong on a 2-core host.
+
 Writes SCALING_r{N}.json at the repo root.
 
-Run:  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      PYTHONPATH=/root/repo python scripts/scaling_bench.py
+Run:  PYTHONPATH=/root/repo python scripts/scaling_bench.py
 """
 
 import json
@@ -15,22 +24,47 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags += " --xla_force_host_platform_device_count=8"
+if "intra_op_parallelism" not in flags:
+    flags += (" --xla_cpu_multi_thread_eigen=false"
+              " intra_op_parallelism_threads=1")
+os.environ["XLA_FLAGS"] = flags.strip()
+os.environ.setdefault("OMP_NUM_THREADS", "1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from redux_tpu.models.dense import uniform_init_cum
-from redux_tpu.ops.coder import max_block_words
+from redux_tpu.ops.coder import encode_blocks_v2, max_block_words
 from redux_tpu.ops.ranks import precompute_encode_model
-from redux_tpu.parallel import data_parallel_mesh, decode_blocks_sharded, encode_blocks_sharded
+from redux_tpu.parallel import data_parallel_mesh, decode_blocks_sharded
 from redux_tpu.params import Parameters
-from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+@functools.partial(jax.jit, static_argnames=("params", "n_words", "delta", "mesh"))
+def _enc_sharded(syms, lens, ic, params, n_words, delta, mesh):
+    # Production composition: ranks + coder per shard, zero collectives.
+    def fn(s, l, icum):
+        lo, hi, tot, _, _, _ = precompute_encode_model(
+            s, l, icum, params.freq_max, delta=delta
+        )
+        return encode_blocks_v2.__wrapped__(
+            lo, hi, tot, l, params=params, n_words=n_words
+        )
+
+    spec = P("dp")
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=(spec, spec, P()), out_specs=(spec, spec, spec),
+        check_vma=False,
+    )(syms, lens, ic)
 
 
 def run(n_dev, blocks_per_dev=24, k=8192, delta=16):
@@ -46,11 +80,12 @@ def run(n_dev, blocks_per_dev=24, k=8192, delta=16):
     sj = jax.device_put(jnp.asarray(syms), shard)
     lj = jax.device_put(jnp.asarray(lens), shard)
     icj = jnp.asarray(ic)
-    n_words = max_block_words(min(257 + delta * k, params.freq_max), params.symbol_count, params, k)
+    n_words = max_block_words(
+        min(257 + delta * k, params.freq_max), params.symbol_count, params, k
+    )
 
     def enc():
-        lo, hi, tot, _, _, _ = precompute_encode_model(sj, lj, icj, params.freq_max, delta=delta)
-        return encode_blocks_sharded(lo, hi, tot, lj, params, n_words, mesh)
+        return _enc_sharded(sj, lj, icj, params, n_words, delta, mesh)
 
     words, blens, _ = jax.block_until_ready(enc())
     t0 = time.perf_counter()
@@ -62,11 +97,14 @@ def run(n_dev, blocks_per_dev=24, k=8192, delta=16):
     jax.block_until_ready(dec)
     t0 = time.perf_counter()
     for _ in range(3):
-        jax.block_until_ready(decode_blocks_sharded(words, lj, icj, params, k, mesh, delta=delta))
+        jax.block_until_ready(
+            decode_blocks_sharded(words, lj, icj, params, k, mesh, delta=delta)
+        )
     t_dec = (time.perf_counter() - t0) / 3
 
-    ok = np.array_equal(np.asarray(dec)[:, :k].astype(np.uint8),
-                        syms.astype(np.uint8))
+    ok = np.array_equal(
+        np.asarray(dec)[:, :k].astype(np.uint8), syms.astype(np.uint8)
+    )
     return {"n_dev": n_dev, "bytes": len(data), "t_enc": t_enc, "t_dec": t_dec,
             "gbps": 2 * len(data) / (t_enc + t_dec) / 1e9, "verified": bool(ok)}
 
@@ -83,17 +121,22 @@ def main():
         r["efficiency_vs_cores"] = r["gbps"] / (min(r["n_dev"], ncores) * per_dev0)
     out = {
         "mode": "weak-scaling, virtual CPU mesh (shard_map dp axis)",
-        "note": "host has %d physical cores; n_dev beyond that oversubscribes "
-                "threads, so efficiency_vs_cores is the meaningful column. "
-                "Real pods swap the mesh for TPU chips/hosts; identical program."
-                % ncores,
+        "note": "host has %d physical cores; intra-op threading pinned to 1 "
+                "thread/device so N=1 really uses one core; n_dev beyond the "
+                "cores time-shares them, so efficiency_vs_cores is the "
+                "meaningful column there.  Real pods swap the mesh for TPU "
+                "chips/hosts; identical shard_map program." % ncores,
         "physical_cores": ncores,
         "results": results,
         "min_efficiency_n_ge_2": min(r["efficiency"] for r in results[1:]),
-        "min_efficiency_vs_cores_n_ge_2": min(r["efficiency_vs_cores"] for r in results[1:]),
+        "min_efficiency_vs_cores_n_ge_2": min(
+            r["efficiency_vs_cores"] for r in results[1:]
+        ),
     }
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "SCALING_r2.json")
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING_r3.json",
+    )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
