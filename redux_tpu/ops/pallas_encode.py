@@ -723,13 +723,20 @@ def encode_blocks_ranked(syms, lens, init_cum, params: Parameters, n_words: int,
     sweeps dominated its per-symbol cost); bit-identical output
     (kbench differential + tests/test_pallas_encode.py).
 
-    Same signature/returns as :func:`encode_blocks_pallas_m`.  Costs
-    12 bytes of HBM per input byte for the lo/hi/tot planes — callers
-    batching >~100 MB per call should chunk lanes.
+    Costs 12 bytes of HBM per input byte for the lo/hi/tot planes;
+    callers batching >~100 MB per call should chunk lanes, and callers
+    must NOT queue several of these asynchronously (each in-flight call
+    pins its planes in HBM — measured pathological on-chip; consume the
+    outputs between calls).
+
+    Same signature/returns as :func:`encode_blocks_pallas_m`.
     """
     from .ranks import precompute_encode_model
 
-    lo, hi, tot, _el, _eh, _et = precompute_encode_model(
-        syms, lens, init_cum, params.freq_max, delta=delta
-    )
-    return encode_blocks_pallas(lo, hi, tot, lens, params, n_words)
+    # x64 off for the whole trace: the Pallas kernel has no 64-bit types,
+    # and every rank quantity fits int32 (counts < 2**20).
+    with jax.enable_x64(False):
+        lo, hi, tot, _el, _eh, _et = precompute_encode_model(
+            syms, lens, init_cum, params.freq_max, delta=delta
+        )
+        return encode_blocks_pallas(lo, hi, tot, lens, params, n_words)
