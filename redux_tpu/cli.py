@@ -21,7 +21,8 @@ TPU-native extensions (flags the reference does not have):
   model/mod.rs:64);
 * ``--no-prior``: disable the warm-start histogram prior.
 
-Decompression auto-detects the format by the RXT1 magic.
+Decompression auto-detects the format: RXT1 container magic, the
+compact single-block magic (0xB3), else a bare reference stream.
 """
 
 from __future__ import annotations
