@@ -45,10 +45,15 @@ def pad_to_devices(b: int, mesh: Mesh) -> int:
     return ((max(b, 1) + n - 1) // n) * n
 
 
-# check_vma=False throughout: the init_cum operand is replicated (P())
-# and consumed read-only inside every shard; the varying-manual-axes
-# checker cannot prove that for the scan-heavy bodies, but replication
-# is guaranteed by construction (the caller passes one host array).
+# check_vma=False throughout.  Verified (round 3, checker enabled as an
+# experiment): the varying-manual-axes checker rejects these bodies only
+# because the coder scans initialize their carries from CONSTANTS (low =
+# 0, high = code_max, ...), which the checker types as unvarying while
+# the first step makes them device-varying — the fix would be pvary
+# annotations on every scan init in ops/coder.py solely for shard_map's
+# benefit.  No cross-device operand flows in (init_cum is replicated by
+# construction, P(), read-only), and the outputs are asserted partitioned
+# by tests/test_sharding.py.
 
 
 @functools.partial(

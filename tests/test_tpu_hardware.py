@@ -1,0 +1,83 @@
+"""Compiled-mode (Mosaic) kernel coverage on real TPU hardware.
+
+The CPU test tiers exercise the Pallas kernels in interpret mode — the
+same semantics, but Mosaic-specific constructs (SMEM scalar gates,
+sublane-packed layouts, statically-unrolled sweeps) only compile on
+hardware.  This test round-trips the production kernels in COMPILED mode
+through a subprocess that targets the real backend.
+
+Opt-in via REDUX_TPU_HW_TESTS=1 (first compile of the small test shapes
+takes minutes on a cold cache, so it is not part of the default tiers):
+
+    REDUX_TPU_HW_TESTS=1 python -m pytest tests/test_tpu_hardware.py -v
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_DRIVER = r"""
+import numpy as np, jax
+assert jax.default_backend() not in ("cpu",), jax.default_backend()
+import jax.numpy as jnp
+from redux_tpu.models.dense import uniform_init_cum
+from redux_tpu.ops.pallas_decode import decode_blocks_pallas
+from redux_tpu.ops.pallas_encode import encode_blocks_pallas_m, encode_blocks_ranked
+from redux_tpu import oracle
+from redux_tpu.params import Parameters
+
+params = Parameters.tpu_wide()
+rng = np.random.default_rng(0)
+k = 512
+blocks = [
+    bytes(rng.integers(0, 256, k, dtype=np.uint8)),
+    (b"compiled-mode kernel coverage " * 40)[:k],
+    b"tiny",
+]
+b = len(blocks)
+syms = np.zeros((b, k), dtype=np.int32)
+lens = np.zeros(b, dtype=np.int32)
+for i, d in enumerate(blocks):
+    syms[i, : len(d)] = np.frombuffer(d, np.uint8)
+    lens[i] = len(d)
+ic = uniform_init_cum(params).astype(np.int32)
+n_words = k // 2  # generous: the random block expands (~13%) and must fit
+
+for name, enc in (("ranked", encode_blocks_ranked), ("m-kernel", encode_blocks_pallas_m)):
+    words, blens, ovf = enc(jnp.asarray(syms), jnp.asarray(lens), jnp.asarray(ic),
+                            params, n_words, 16)
+    words, blens = np.asarray(words), np.asarray(blens)
+    assert not np.asarray(ovf).any(), name
+    for i, d in enumerate(blocks):
+        exp = oracle.compress_block(d, params, ic.astype(np.int64), 16)
+        got = words[i].astype(">u4").tobytes()[: blens[i]]
+        assert got == exp, (name, i, len(got), len(exp))
+    dec = np.asarray(decode_blocks_pallas(
+        jnp.asarray(words), jnp.asarray(lens), jnp.asarray(ic), params, k, 16))
+    for i, d in enumerate(blocks):
+        assert dec[i, : lens[i]].astype(np.uint8).tobytes() == d, (name, i)
+print("TPU compiled-mode kernels: bit-exact")
+"""
+
+
+@pytest.mark.skipif(
+    not os.environ.get("REDUX_TPU_HW_TESTS"),
+    reason="set REDUX_TPU_HW_TESTS=1 (needs real TPU; cold compile takes minutes)",
+)
+def test_compiled_kernels_bit_exact_on_hardware():
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # use the real backend, not the test CPU pin
+    env.pop("REDUX_TPU_LANES", None)
+    env.pop("REDUX_TPU_DLANES", None)
+    # PREPEND the repo: the TPU plugin may be provided via an existing
+    # PYTHONPATH entry (e.g. a sitecustomize), which must be preserved.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-c", _DRIVER], env=env, capture_output=True, text=True,
+        timeout=1800,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "bit-exact" in out.stdout
