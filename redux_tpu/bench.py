@@ -93,17 +93,15 @@ def run_device_benchmark(data: bytes, block_size: int = BLOCK_SIZE, iters: int =
     words, byte_lens, ovf = encode_step()
     _sync(words, byte_lens, ovf)
     vlog("encode warmup done")
-    # Per-iteration sync: queued async iterations each pin the pipeline's
-    # working set in HBM, which measures allocator pathology rather than
-    # the codec (and real callers consume outputs between calls anyway).
-    times = []
+    # Queued async iterations + one final sync: the host->device dispatch
+    # round-trip over the axon tunnel is tens of ms and would otherwise
+    # dominate a per-iteration-synced measurement of a ~10 ms kernel.
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
         words, byte_lens, ovf = encode_step()
-        jax.block_until_ready((words, byte_lens, ovf))
-        times.append(time.perf_counter() - t0)
-    t_enc = sorted(times)[len(times) // 2]  # median: tunnel stragglers happen
-    vlog(f"encode timed: {t_enc*1e3:.1f} ms/iter (median of {iters})")
+    jax.block_until_ready((words, byte_lens, ovf))
+    t_enc = (time.perf_counter() - t0) / iters
+    vlog(f"encode timed: {t_enc*1e3:.1f} ms/iter")
 
     # Decode input: the device-resident stream matrix (transposed layout
     # for the Pallas path — what api.decode stages host-side).  Blocks
@@ -145,13 +143,11 @@ def run_device_benchmark(data: bytes, block_size: int = BLOCK_SIZE, iters: int =
     decoded = decode_step()
     _sync(decoded)
     vlog("decode warmup done")
-    times = []
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
         decoded = decode_step()
-        jax.block_until_ready(decoded)
-        times.append(time.perf_counter() - t0)
-    t_dec = sorted(times)[len(times) // 2]
+    jax.block_until_ready(decoded)
+    t_dec = (time.perf_counter() - t0) / iters
 
     # Verification (host, untimed; raw blocks spliced from the source).
     dec_np = np.asarray(decoded)

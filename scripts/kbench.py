@@ -151,13 +151,11 @@ def main():
     words, byte_lens, ovf = encode_step()
     sync(words, byte_lens, ovf)
     print(f"encode compile+run {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-    times = []
+    t0 = time.perf_counter()
     for _ in range(args.iters):
-        t0 = time.perf_counter()
         words, byte_lens, ovf = encode_step()
-        sync(words, byte_lens, ovf)
-        times.append(time.perf_counter() - t0)
-    t_enc = sorted(times)[len(times) // 2]
+    sync(words, byte_lens, ovf)
+    t_enc = (time.perf_counter() - t0) / args.iters
     enc_gbps = len(data) / t_enc / 1e9
     comp = int(np.asarray(byte_lens)[:n_blocks].sum()) + 32 + 4 * n_blocks + 512
     print(f"encode: {t_enc*1e3:.1f} ms  {enc_gbps:.3f} GB/s  ratio {len(data)/comp:.4f}")
@@ -199,13 +197,11 @@ def main():
     out = decode_step()
     sync(out)
     print(f"decode compile+run {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-    times = []
+    t0 = time.perf_counter()
     for _ in range(args.iters):
-        t0 = time.perf_counter()
         out = decode_step()
-        sync(out)
-        times.append(time.perf_counter() - t0)
-    t_dec = sorted(times)[len(times) // 2]
+    sync(out)
+    t_dec = (time.perf_counter() - t0) / args.iters
     dec_gbps = len(data) / t_dec / 1e9
     print(f"decode: {t_dec*1e3:.1f} ms  {dec_gbps:.3f} GB/s")
     print(f"aggregate: {2*len(data)/(t_enc+t_dec)/1e9:.3f} GB/s")
