@@ -149,6 +149,7 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
         # the step time can be measured on hardware.  Never set in
         # production; roundtrip checks fail loudly when it is.
         probe = _os.environ.get("REDUX_TPU_DECODE_PROBE", "")
+        sweep_mode = _os.environ.get("REDUX_TPU_DECODE_SWEEP", "")
 
         def step(t, stage_row, carry):
             low, high, z, cur, avail, wq, count_i = carry
@@ -166,6 +167,34 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
                 flo = value.astype(u32)
                 fhi = flo + u32(1)
                 delta_v = jnp.where(active, i32(delta), i32(0))
+            elif sweep_mode == "chunk":
+                # Rolled single pass with (CH, G, LN) chunks and carried
+                # accumulators: never materializes the full (S_PAD, G, LN)
+                # mask, trading a few more ALU ops for zero spills.
+                upd = active & (count_i < i32(freq_max))
+                delta_v = jnp.where(upd, i32(delta), i32(0))
+                CH = 8
+                acc_sym = jnp.zeros((G, LN), i32)
+                acc_flo = jnp.zeros((G, LN), i32)
+                acc_fhi = jnp.full((G, LN), 0x7FFFFFFF, i32)
+                for c in range(S_PAD // CH):
+                    ch = cdf_s[c * CH : (c + 1) * CH, :, :]
+                    bch = ch <= value[None]
+                    acc_sym = acc_sym + jnp.sum(bch.astype(i32), axis=0, dtype=i32)
+                    acc_flo = jnp.maximum(
+                        acc_flo, jnp.max(jnp.where(bch, ch, i32(0)), axis=0)
+                    )
+                    acc_fhi = jnp.minimum(
+                        acc_fhi,
+                        jnp.min(jnp.where(bch, i32(0x7FFFFFFF), ch), axis=0),
+                    )
+                    if probe != "noupdate":
+                        cdf_s[c * CH : (c + 1) * CH, :, :] = ch + jnp.where(
+                            bch, i32(0), delta_v[None]
+                        )
+                sym = acc_sym - i32(1)
+                flo = acc_flo.astype(u32)
+                fhi = acc_fhi.astype(u32)
             else:
                 b = cdf <= value[None]
                 sym = jnp.sum(b.astype(i32), axis=0, dtype=i32) - i32(1)
