@@ -3,10 +3,13 @@
 The XLA `lax.scan` decoder (:func:`redux_tpu.ops.coder.decode_blocks`)
 pays a kernel launch plus an HBM round-trip of the ``(B, 258)`` model
 state per symbol — the measured round-1 bottleneck (0.04 GB/s).  This
-kernel keeps EVERYTHING resident in VMEM for a tile of 128 blocks and
-runs all ``K`` symbol steps inside one kernel invocation:
+kernel keeps EVERYTHING resident in VMEM for a tile of LANES blocks
+(default 1024, laid out as G = LANES/128 sublane-packed groups of 128
+lanes — the (rows, G, 128) layout keeps the per-lane interval/bit math
+on full vregs instead of 1/8-occupied (1, LANES) rows) and runs all
+``K`` symbol steps inside one kernel invocation:
 
-* **Model state**: one dense cumulative row per lane, ``(264, 128)``
+* **Model state**: one dense cumulative row per lane, ``(264, G, 128)``
   int32 (258 live rows + freq_max padding).  Per symbol: one compare
   pass gives the mask ``b = cdf <= value``; ``sym = sum(b) - 1``;
   ``flo/fhi`` fall out of masked max/min over the same mask (the row is
@@ -20,7 +23,7 @@ runs all ``K`` symbol steps inside one kernel invocation:
 * **Stream reads**: TPU v5e has no per-lane dynamic gather (probed:
   ``take_along_axis`` silently miscompiles in Mosaic), so per-lane
   bitstreams are consumed through a 4-slab ring: each lane owns four
-  32-word slabs of its stream inside a ``(128, 128)`` VMEM ring.  Word
+  32-word slabs of its stream inside a ``(128, G, 128)`` VMEM ring.  Word
   pulls one-hot-select from the ring (pure compare/select/reduce).
   Every second 32-step epoch (64 steps consume at most ``64 *
   code_bits`` bits < 2 slabs) a refill sweep tops every lane back up to
