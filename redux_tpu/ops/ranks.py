@@ -68,25 +68,20 @@ def _ranks_parallel(
     onehot = (vc[..., None] == alpha) & m[..., None]
     H = jnp.sum(onehot, axis=2, dtype=jnp.int32)  # (B, nc, n_symbols)
 
-    # 2. Cross-chunk carries: exclusive prefix over chunks, then exclusive
-    #    prefix over the alphabet for the dominance count.  The per-symbol
-    #    lookups are one-hot CONTRACTIONS, not gathers: XLA TPU gathers
-    #    (take_along_axis) lower to serialized dynamic-slice loops with a
-    #    pathological slow mode (profiled at >100 ms on this corpus),
-    #    while the contraction is a fused batched matvec.  Exact in f32:
-    #    exactly one term of each sum is non-zero and every value is far
-    #    below 2**24.
+    # 2. Cross-chunk carries: exclusive prefix over chunks, then per-symbol
+    #    lookups as fused compare-reduces.  NOT gathers (XLA TPU
+    #    take_along_axis lowers to serialized dynamic-slice loops with a
+    #    pathological slow mode, profiled >100 ms here) and NOT one-hot
+    #    matmuls (a dot would materialize the (B, nc, chunk, A) one-hot
+    #    operand — gigabytes).  The masked reductions fuse like the
+    #    histogram above: nothing 4-D is ever materialized.
+    #    c_carry[t] = #{earlier chunks, value < vc_t} = sum_{a < vc_t} cumH[a].
     cumH = jnp.cumsum(H, axis=1) - H  # counts in chunks before k
-    cumHA = jnp.cumsum(cumH, axis=2) - cumH  # #{earlier chunks, value < a}
-    oh_f = (vc[..., None] == alpha).astype(jnp.float32)  # (B, nc, chunk, A)
-    c_carry = jnp.einsum(
-        "bkta,bka->bkt", oh_f, cumHA.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)
-    d_carry = jnp.einsum(
-        "bkta,bka->bkt", oh_f, cumH.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)
+    cumH_b = cumH[:, :, None, :]  # (B, nc, 1, A) broadcast over positions
+    lt = alpha < vc[..., None]  # (B, nc, chunk, A), fused
+    c_carry = jnp.sum(jnp.where(lt, cumH_b, 0), axis=-1, dtype=jnp.int32)
+    eq = alpha == vc[..., None]
+    d_carry = jnp.sum(jnp.where(eq, cumH_b, 0), axis=-1, dtype=jnp.int32)
 
     # 3. In-chunk pairwise triangle (fused; compute O(B*Kp*chunk)).
     tri = jnp.triu(jnp.ones((chunk, chunk), dtype=bool), k=1)  # [s, t]: s < t
@@ -144,20 +139,20 @@ def precompute_encode_model(
 
     v = symbols[:, :K]
     init_cum = init_cum.astype(jnp.int32)
-    # One-hot contractions instead of gathers (see _ranks_parallel): both
-    # init_cum[v] and init_cum[v+1] come from the same mask against the
-    # plain / shifted table.  Exact in f32 (single non-zero term,
-    # values < 2**24).
+    # Fused one-hot compare-reduces instead of gathers (see
+    # _ranks_parallel): both init_cum[v] and init_cum[v+1] come from the
+    # same mask against the plain / shifted table; the (B, K, n_symbols)
+    # intermediate fuses into the reduction.
     alpha = jnp.arange(n_symbols, dtype=jnp.int32)
-    oh_v = (v[..., None] == alpha).astype(jnp.float32)  # (B, K, n_symbols)
-    icf = init_cum.astype(jnp.float32)
-    base_lo = jnp.einsum(
-        "bta,a->bt", oh_v, icf[:n_symbols], preferred_element_type=jnp.float32
-    ).astype(jnp.int32)
-    base_hi = jnp.einsum(
-        "bta,a->bt", oh_v, icf[1 : n_symbols + 1],
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)
+    oh_v = v[..., None] == alpha  # (B, K, n_symbols)
+    base_lo = jnp.sum(
+        jnp.where(oh_v, init_cum[None, None, :n_symbols], 0), axis=-1,
+        dtype=jnp.int32,
+    )
+    base_hi = jnp.sum(
+        jnp.where(oh_v, init_cum[None, None, 1 : n_symbols + 1], 0), axis=-1,
+        dtype=jnp.int32,
+    )
     lo = base_lo + delta * c
     hi = base_hi + delta * (c + d)
     t_idx = jnp.arange(K, dtype=jnp.int32)[None, :]
