@@ -227,22 +227,21 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
             z = jnp.where(active, nz, z)
 
             # Closed-form renorm: n = n1 + n3 bits consumed; z <- (z<<n)|bits.
+            # Only the shift COUNTS are masked for inactive lanes: with
+            # n1 = n3 = 0 every transform below is an identity under the
+            # coder invariants (low < half <= high, both <= code_max), so
+            # the per-value active-selects would be dead ops on the
+            # critical dependency chain.
             n1 = jnp.where(active, jax.lax.clz(low ^ high).astype(i32) - i32(32 - cb), i32(0))
             n1w = n1.astype(u32)
-            low1 = jnp.where(active, (low << n1w) & u32(cmax), low)
-            high1 = jnp.where(
-                active, ((high << n1w) | ((u32(1) << n1w) - u32(1))) & u32(cmax), high
-            )
+            low1 = (low << n1w) & u32(cmax)
+            high1 = ((high << n1w) | ((u32(1) << n1w) - u32(1))) & u32(cmax)
             a = jax.lax.clz(~(low1 << u32(32 - cb + 1))).astype(i32)
             bb = jax.lax.clz(high1 << u32(32 - cb + 1)).astype(i32)
             n3 = jnp.where(active, jnp.minimum(jnp.minimum(a, bb), i32(cb - 1)), i32(0))
             n3w = n3.astype(u32)
-            low = jnp.where(active, (low1 << n3w) & u32(cmax >> 1), low1)
-            high = jnp.where(
-                active,
-                (((high1 << n3w) | ((u32(1) << n3w) - u32(1))) & u32(cmax >> 1)) | u32(half),
-                high1,
-            )
+            low = (low1 << n3w) & u32(cmax >> 1)
+            high = (((high1 << n3w) | ((u32(1) << n3w) - u32(1))) & u32(cmax >> 1)) | u32(half)
             n = n1 + n3
             if probe == "noread":
                 bits = n.astype(u32)
