@@ -21,13 +21,13 @@ test-release:
 
 # One-file sanity bench on the current backend (CPU works; slow).
 bench-smoke:
-	PYTHONPATH=. $(PY) bench.py --smoke
+	PYTHONPATH=.:$$PYTHONPATH $(PY) bench.py --smoke
 
 # Full benchmark (driver contract: one JSON line; real TPU).
 bench:
-	PYTHONPATH=. $(PY) bench.py
+	PYTHONPATH=.:$$PYTHONPATH $(PY) bench.py
 
 scaling:
-	JAX_PLATFORMS=cpu PYTHONPATH=. $(PY) scripts/scaling_bench.py
+	JAX_PLATFORMS=cpu PYTHONPATH=.:$$PYTHONPATH $(PY) scripts/scaling_bench.py
 
 ci: test bench-smoke
