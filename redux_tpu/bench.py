@@ -44,9 +44,16 @@ def _sync(*arrays) -> None:
     jax.block_until_ready(arrays)
 
 
-def run_device_benchmark(data: bytes, block_size: int = BLOCK_SIZE, iters: int = 10,
+def run_device_benchmark(data: bytes, block_size: int = 0, iters: int = 10,
                          verbose: bool = False):
     import sys
+
+    if not block_size:  # the shipped default: api's auto block sizing
+        block_size = (
+            api._auto_block_size(len(data))
+            if len(data) >= api._AUTO_BS_MIN
+            else BLOCK_SIZE
+        )
 
     def vlog(msg):
         if verbose:

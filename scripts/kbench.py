@@ -44,7 +44,7 @@ def sync(*arrays):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--bs", type=int, default=container.DEFAULT_BLOCK_SIZE)
+    ap.add_argument("--bs", type=int, default=0, help="0 = api auto block size")
     ap.add_argument("--blocks", type=int, default=0, help="0 = whole corpus")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--delta", type=int, default=container.DEFAULT_DELTA)
@@ -58,9 +58,11 @@ def main():
     args = ap.parse_args()
 
     params = Parameters.tpu_wide()
-    k = args.bs
+    k = args.bs or container.DEFAULT_BLOCK_SIZE
     n = args.blocks * k if args.blocks else 9786796
     data = load_corpus(n)
+    if not args.bs:
+        k = api._auto_block_size(len(data))
     print(f"corpus {len(data)} bytes, block {k}, backend {jax.default_backend()}",
           file=sys.stderr)
 
