@@ -483,8 +483,10 @@ def encode_auto(
     Every candidate is an RXT format recognized by :func:`decode_auto`, so
     the choice is invisible to the decoder, and the best candidate is
     never larger than the reference's stream for the same input
-    (BASELINE.md size target; asserted per corpus file by the gated
-    release tier).
+    (BASELINE.md size target): in the compact range the reference-format
+    stream itself is a candidate when the native serial coder is present,
+    making the ``<=`` structural; beyond it the contract is empirical,
+    asserted per corpus file by the gated release tier.
     """
     candidates = [encode(data, params=params, block_size=block_size, use_prior=True)]
     if len(data) >= 4096:  # without a prior the two rxt variants coincide
@@ -510,6 +512,23 @@ def encode_auto(
             cfgs = (4,) if len(data) <= (1 << 17) else ()
         for cfg in cfgs:
             candidates.append(encode_compact(data, cfg))
+        if params is None:
+            # The bare reference-format stream (decode_auto's fallthrough
+            # format) as a last candidate makes the "never larger than the
+            # reference" size contract STRUCTURAL in the compact range —
+            # the reference's own bytes bound the minimum (lib.rs:102-109
+            # semantics, native C++ serial coder).
+            try:
+                from . import native
+
+                ref = native.compress_bytes(data, Parameters.default())
+                # A coded stream starting with the container magic (~2^-32)
+                # would misroute in decode_auto; compact-magic collisions
+                # are safe (crc16 mismatch falls through to bare decode).
+                if not container.is_rxt_archive(ref):
+                    candidates.append(ref)
+            except (ImportError, OSError, RuntimeError):
+                pass
     return min(candidates, key=len)
 
 

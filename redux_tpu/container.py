@@ -150,6 +150,13 @@ def parse_archive(archive: bytes) -> tuple[ArchiveHeader, List[bytes]]:
     version, flags, sb, fb, cb, delta = struct.unpack_from("<BBBBBB", archive, 4)
     if version != VERSION or delta < 1:
         raise InvalidInputError()
+    # The RXT container is byte-oriented BY DESIGN (symbol_bits = 8): the
+    # TPU kernels' dense model rows are sized for the 257-symbol alphabet
+    # (pallas_decode.S_PAD) and encode() rejects other widths up front
+    # (see README "Deliberate non-generalities"; generic symbol widths
+    # live on the host/oracle path, model/mod.rs:63-71).
+    if sb != 8:
+        raise InvalidInputError()
     block_size, orig_len, n_blocks, crc = struct.unpack_from("<IQII", archive, 12)
     params = Parameters(sb, fb, cb)
     off = HEADER_BYTES
@@ -182,6 +189,12 @@ def parse_archive(archive: bytes) -> tuple[ArchiveHeader, List[bytes]]:
         raise InvalidInputError()
     expect_blocks = (orig_len + block_size - 1) // block_size if orig_len else 0
     if expect_blocks != n_blocks:
+        raise InvalidInputError()
+    # Untrusted-header sanity: a crafted header cannot demand more decode
+    # work/allocation than its payload could possibly encode (raw blocks
+    # are 1:1; coded blocks are bounded by max_decoded_len) — same DoS cap
+    # as parse_compact.
+    if orig_len > max_decoded_len(params, sum(byte_lens)) + HEADER_BYTES * 8:
         raise InvalidInputError()
     return header, streams
 
@@ -269,6 +282,22 @@ def is_compact_archive(data: bytes) -> bool:
     return len(data) >= 2 and data[0] == COMPACT_MAGIC
 
 
+def max_decoded_len(params: Parameters, payload_bytes: int) -> int:
+    """Upper bound on symbols decodable from a payload of that many bytes.
+
+    Even with the model frozen at ``freq_max``, one symbol costs at least
+    ``-log2((freq_max - S + 1)/freq_max) >= (S-1)/(freq_max*ln2)`` bits,
+    i.e. at most ``freq_max*ln2/(S-1) ~= freq_max/369`` symbols ride on
+    each payload bit (S = 257 at symbol_bits 8).  ``freq_max >> 8`` plus
+    one is a ~1.44x-margin integer form of that bound.  Untrusted headers
+    claiming more are corrupt — rejecting them caps the allocation and
+    decode work a crafted tiny archive can demand (round-3 advisor: a
+    ~6-byte compact archive could claim a multi-exabyte orig_len).
+    """
+    per_bit = (params.freq_max >> (params.symbol_bits)) + 1
+    return 8 * payload_bytes * per_bit
+
+
 def parse_compact(archive: bytes) -> tuple[Parameters, int, int, int, bytes]:
     """-> (params, delta, orig_len, crc16, payload); raises InvalidInputError."""
     if len(archive) < 4 or archive[0] != COMPACT_MAGIC:
@@ -280,7 +309,10 @@ def parse_compact(archive: bytes) -> tuple[Parameters, int, int, int, bytes]:
     if len(archive) < off + 2:
         raise InvalidInputError()
     (crc16,) = struct.unpack_from("<H", archive, off)
-    return params, delta, orig_len, crc16, archive[off + 2 :]
+    payload = archive[off + 2 :]
+    if orig_len > max_decoded_len(params, len(payload)):
+        raise InvalidInputError()
+    return params, delta, orig_len, crc16, payload
 
 
 def verify_crc16(crc16: int, data: bytes) -> None:

@@ -70,6 +70,11 @@ import os as _os
 # scalar chain was stall-bound; see docs/DESIGN_NOTES.md).
 LANES = int(_os.environ.get("REDUX_TPU_DLANES",
                             _os.environ.get("REDUX_TPU_LANES", "1024")))
+if LANES <= 0 or LANES % 128:
+    raise ValueError(
+        f"REDUX_TPU_DLANES/REDUX_TPU_LANES must be a positive multiple of 128 "
+        f"(got {LANES}); set before first import — later changes have no effect"
+    )
 LN = 128  # hardware lane width (minor dim)
 G = max(1, LANES // LN)  # sublane-packed lane groups
 EPOCH = 32  # symbols per inner loop

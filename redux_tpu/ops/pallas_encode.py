@@ -56,6 +56,11 @@ from .coder import _append96, _leftalign64, _piece64
 
 import os as _os
 LANES = int(_os.environ.get("REDUX_TPU_LANES", "512"))  # lanes per kernel program (ILP width)
+if LANES <= 0 or LANES % 128:
+    raise ValueError(
+        f"REDUX_TPU_LANES must be a positive multiple of 128 (got {LANES}); "
+        f"set before first import — later changes have no effect"
+    )
 EPOCH = 32  # symbols per grid step
 RING = 256  # ring rows (2 output slabs + epoch slack); epoch flushes < 96 words
 SLAB = 128  # words per dump slab: large slabs keep the statically-unrolled

@@ -125,10 +125,22 @@ def initialize_multihost(**kwargs) -> None:
 
 
 def pallas_lane_quantum(mesh: Mesh) -> int:
-    """Per-shard lane alignment: every shard must be whole kernel tiles."""
-    from ..ops.pallas_encode import LANES
+    """Per-shard lane alignment: every shard must be whole kernel tiles.
 
-    return LANES * mesh.devices.size
+    Encode and decode kernels have independent tile widths
+    (``REDUX_TPU_LANES`` vs ``REDUX_TPU_DLANES``), and the sharded entries
+    below feed per-device lane shards to BOTH; the quantum is their lcm so
+    any shard divides into whole tiles for either kernel.  (Round-3 bug:
+    using only the encode width made decode's per-device reshape fail
+    whenever the two defaults diverged — e.g. 512-lane shards into the
+    1024-lane decode kernel.)
+    """
+    import math
+
+    from ..ops.pallas_decode import LANES as DLANES
+    from ..ops.pallas_encode import LANES as ELANES
+
+    return math.lcm(ELANES, DLANES) * mesh.devices.size
 
 
 @functools.partial(

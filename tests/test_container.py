@@ -136,3 +136,74 @@ def test_use_pallas_on_tpu_backend(monkeypatch):
     assert api._use_pallas(api.Parameters.tpu_wide()) is True
     monkeypatch.setattr(_jax, "default_backend", lambda: "cpu")
     assert api._use_pallas(api.Parameters.tpu_wide()) is False
+
+
+def test_compact_orig_len_dos_bound():
+    """A crafted tiny compact archive cannot claim an absurd orig_len.
+
+    Round-3 advisor: a ~6-byte input claiming a multi-exabyte orig_len
+    reached np.empty(orig_len) / an unbounded decode loop before any CRC
+    check.  parse_compact now bounds orig_len by the information-theoretic
+    maximum the payload could encode (container.max_decoded_len)."""
+    # varint for 2**62: 9 bytes of 0x80|.. + terminator
+    huge = container._varint(1 << 62)
+    arc = bytes([container.COMPACT_MAGIC, (container.COMPACT_VERSION << 4) | 4])
+    arc += huge + b"\x00\x00" + b"\xab"  # crc16 + 1 payload byte
+    with pytest.raises(InvalidInputError):
+        container.parse_compact(arc)
+    # decode_auto must also reject it (not attempt the allocation).
+    with pytest.raises(InvalidInputError):
+        api.decode_compact(arc)
+
+
+def test_compact_orig_len_bound_admits_extreme_compression():
+    """The DoS bound must not reject legitimately extreme archives:
+    1 MiB of zeros compresses to a handful of payload bytes."""
+    data = b"\x00" * (1 << 20)
+    arc = api.encode_compact(data, 4)
+    assert len(arc) < 600
+    assert api.decode_compact(arc) == data
+
+
+def test_archive_orig_len_dos_bound():
+    """Same cap for the block container: header orig_len is bounded by
+    what the payload bytes could possibly decode to."""
+    arc = bytearray(api.encode(b"hello world" * 100, block_size=4096))
+    header, _ = container.parse_archive(bytes(arc))
+    assert header.n_blocks == 1
+    # Keep n_blocks = 1 consistent (expect_blocks check) but claim a
+    # 2 GiB block_size and orig_len from a ~100-byte payload.
+    import struct as _s
+
+    _s.pack_into("<I", arc, 12, 1 << 31)  # block_size
+    _s.pack_into("<Q", arc, 16, 1 << 31)  # orig_len
+    with pytest.raises(InvalidInputError):
+        container.parse_archive(bytes(arc))
+
+
+def test_archive_rejects_non_byte_symbols():
+    """The container is byte-only by design (symbol_bits = 8): crafted
+    headers with other widths are rejected up front (the kernels' dense
+    model rows are sized for the 257-symbol alphabet)."""
+    arc = bytearray(api.encode(b"abc" * 500))
+    arc[6] = 12  # symbol_bits field
+    with pytest.raises(InvalidInputError):
+        container.parse_archive(bytes(arc))
+
+
+def test_encode_auto_structural_size_contract():
+    """In the compact range the reference-format stream itself is a
+    candidate (when the native coder is present), so encode_auto output
+    is structurally <= the reference stream size."""
+    pytest.importorskip("redux_tpu.native")
+    from redux_tpu import native
+
+    rng = np.random.default_rng(21)
+    # Incompressible data where compact framing overhead could otherwise
+    # exceed the bare reference stream.
+    for n in (1, 7, 64, 1000):
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        auto = api.encode_auto(data)
+        ref = native.compress_bytes(data, Parameters.default())
+        assert len(auto) <= len(ref), (n, len(auto), len(ref))
+        assert api.decode_auto(auto) == data

@@ -155,3 +155,49 @@ def test_sharded_pallas_output_is_partitioned(mesh):
     )
     # The lane axis of the kernel output must span every mesh device.
     assert len(words_t.sharding.device_set) == mesh.devices.size
+
+
+def test_sharded_decode_mismatched_lane_widths():
+    """Regression (round-3 advisor, high): pallas_lane_quantum used only
+    the ENCODE kernel's tile width, so per-device shards that were odd
+    multiples of it failed the DECODE kernel's reshape whenever the two
+    widths diverged (the default 512 vs 1024).  The quantum is now their
+    lcm.  Subprocess: lane widths are import-time constants, and the
+    conftest pins both to 128 for the rest of the suite."""
+    import os
+    import subprocess
+    import sys
+
+    env = {
+        k: v for k, v in os.environ.items() if not k.startswith(("JAX_", "XLA_"))
+    }
+    env.update(
+        # REPLACE PYTHONPATH: the harness site claims the TPU tunnel at
+        # interpreter start; this worker must be CPU-only (test_multihost).
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        REDUX_TPU_LANES="128",
+        REDUX_TPU_DLANES="256",  # decode tile wider than encode tile
+        REDUX_TPU_FORCE_PALLAS="1",
+    )
+    script = (
+        "import numpy as np\n"
+        "from redux_tpu import api\n"
+        "from redux_tpu.parallel.mesh import pallas_lane_quantum, data_parallel_mesh\n"
+        "q = pallas_lane_quantum(data_parallel_mesh())\n"
+        "assert q % (256 * 2) == 0 and q % (128 * 2) == 0, q\n"
+        "data = (b'sharded quantum regression ' * 300)[:4096]\n"
+        "arc = api.encode(data, block_size=256)\n"
+        "assert api.decode(arc) == data\n"
+        "print('OK')\n"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/root/repo",
+    )
+    assert res.returncode == 0 and "OK" in res.stdout, res.stderr[-2000:]
