@@ -118,13 +118,18 @@ def _auto_block_size(n: int) -> int:
     Every kernel tile runs all ceil(k/EPOCH) epochs regardless of how
     many of its lanes are real, so padded lanes waste whole epochs.  For
     large inputs, pick k near the ratio-chosen default such that the
-    block count lands just under a multiple of the 1024-lane tile
-    (e.g. the 9.7 MB bench corpus: 2370 blocks of 4 KiB pad to 3072
-    lanes at k=4096; k=3328 yields 2917 blocks in the same 3 tiles with
-    19% fewer total epochs).  k stays 256-aligned to bound recompiles.
+    block count lands just under a multiple of the decode tile quantum
+    (LANES x PHASES — the decoder pads tile PAIRS when phase-interleaved)
+    (e.g. the 9.7 MB bench corpus at the 2048-lane quantum: 2370 blocks
+    of 4 KiB pad to 4096 lanes; k=2560 yields 3823 blocks in the same 2
+    program-pairs with the padding down to ~7%).  k stays 256-aligned to
+    bound recompiles.
     """
+    from .ops.pallas_decode import LANES, PHASES
+
+    q = LANES * PHASES
     blocks0 = -(-n // DEFAULT_BLOCK_SIZE)
-    lanes = -(-blocks0 // 1024) * 1024
+    lanes = -(-blocks0 // q) * q
     k = -(-(-(-n // lanes)) // 256) * 256
     return max(k, 1024)
 

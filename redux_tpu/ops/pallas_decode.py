@@ -77,6 +77,12 @@ if LANES <= 0 or LANES % 128:
     )
 LN = 128  # hardware lane width (minor dim)
 G = max(1, LANES // LN)  # sublane-packed lane groups
+# Independent lane tiles interleaved per kernel program (hardware only):
+# one phase's serial interval/renorm chain hides under the other's model
+# sweep (see _decode_kernel).  1 disables.
+PHASES = int(_os.environ.get("REDUX_TPU_DECODE_PHASES", "2"))
+if PHASES < 1:
+    raise ValueError(f"REDUX_TPU_DECODE_PHASES must be >= 1 (got {PHASES})")
 EPOCH = 32  # symbols per inner loop
 SLAB = 32  # words per stream slab
 RING_SLABS = 4  # resident slabs per lane; refill every 2 epochs
@@ -87,13 +93,22 @@ u32 = jnp.uint32
 
 
 def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
-                   unroll: bool = True):
+                   phases: int = 1, unroll: bool = True):
     """Kernel body for static (params, k, delta, words-per-lane).
 
     ``unroll`` statically unrolls the per-epoch symbol loop (static VMEM
     stage addressing — dynamic addressing stalls on v5e).  Interpret-mode
     callers pass False: the 32x bigger body makes XLA CPU compiles blow
     up, and the rolled ``fori_loop`` runs the identical step function.
+
+    ``phases`` > 1 runs that many INDEPENDENT lane tiles inside one
+    program, their per-symbol step bodies emitted interleaved.  The
+    round-3 probe attribution (BASELINE.md) showed the per-step model
+    sweep (~48%) and the serially-dependent interval/renorm/bit chain
+    (~45%) run additively — the chain is latency-bound (a few dozen
+    dependent single-vreg ops), so a second phase's sweep fills its
+    stall slots.  Each phase owns a full (G, LN) lane tile and its own
+    cdf/ring/stage scratches (no aliasing between the chains).
     """
     cb = params.code_bits
     S = params.symbol_count  # 257: row S of the cdf is the running total
@@ -103,14 +118,30 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
     cmax = params.code_max
     half = params.code_half
 
-    def kernel(init_ref, lens_ref, words_ref, out_ref,
-               cdf_s, ring_s, stage_s, nl_s, smin_s, smax_s):
-        # All per-lane state is (G, LN); row-indexed arrays are (rows, G, LN).
-        cdf_s[:, :, :] = init_ref[:, :, :] + jnp.zeros((S_PAD, G, LN), i32)
+    # Perturbation probes (dev-only, via REDUX_TPU_DECODE_PROBE):
+    # deliberately WRONG variants that skip one stage so its share of
+    # the step time can be measured on hardware.  Never set in
+    # production; roundtrip checks fail loudly when it is.
+    probe = _os.environ.get("REDUX_TPU_DECODE_PROBE", "")
+    # Sweep selection (bit-identical semantics): "chunk" on hardware
+    # (small register footprint, measured fastest since the round-4
+    # reciprocal fix), "full" in interpret mode (vectorized numpy ops
+    # beat a 66-iteration rolled loop on CPU).  Env forces either.
+    sweep_mode = _os.environ.get(
+        "REDUX_TPU_DECODE_SWEEP", "chunk" if unroll else "full"
+    )
+
+    def _make_phase(init_ref, lens_ref, words_ref, out_ref,
+                    cdf_s, ring_s, stage_s, nl_s, smin_s, smax_s):
+        """Closures for one phase's model/stream/interval state machine."""
         lens = lens_ref[:, :]
-        # Ring init: slabs 0..3 of every lane (uniform static copies).
-        ring_s[:, :, :] = words_ref[0 : RING_SLABS * SLAB, :, :]
-        nl_s[:, :] = jnp.full((G, LN), RING_SLABS, i32)  # next slab to load
+
+        def init():
+            # All per-lane state is (G, LN); row-indexed: (rows, G, LN).
+            cdf_s[:, :, :] = init_ref[:, :, :] + jnp.zeros((S_PAD, G, LN), i32)
+            # Ring init: slabs 0..3 of every lane (uniform static copies).
+            ring_s[:, :, :] = words_ref[0 : RING_SLABS * SLAB, :, :]
+            nl_s[:, :] = jnp.full((G, LN), RING_SLABS, i32)  # next slab to load
 
         def pull_word(wq):
             """ring[wq mod 128] per lane — two-level select over the ring.
@@ -152,13 +183,6 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
             val = jnp.where(need, (v1 << m2c) | v2, v1)
             return val, (cur, avail, wq)
 
-        # Perturbation probes (dev-only, via REDUX_TPU_DECODE_PROBE):
-        # deliberately WRONG variants that skip one stage so its share of
-        # the step time can be measured on hardware.  Never set in
-        # production; roundtrip checks fail loudly when it is.
-        probe = _os.environ.get("REDUX_TPU_DECODE_PROBE", "")
-        sweep_mode = _os.environ.get("REDUX_TPU_DECODE_SWEEP", "")
-
         def step(t, stage_row, carry):
             low, high, z, cur, avail, wq, count_i = carry
             active = t < lens
@@ -166,8 +190,13 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
             cdf = cdf_s[:, :, :]
             rngv = high - low + u32(1)
             count = count_i.astype(u32)
+            # One reciprocal per divisor per step (wide32 rcp variants):
+            # count divides BOTH interval bounds, and issuing cnt_r here
+            # lets its divide latency hide under the model sweep below.
+            rng_r = wide32.rcp_f32(rngv)
+            cnt_r = wide32.rcp_f32(count)
             # value = ((z+1)*count - 1) // rng  (codec.rs:131, z = pending-low)
-            value = wide32.muldiv_sub1(z + u32(1), count, rngv)
+            value = wide32.muldiv_sub1_rcp(z + u32(1), count, rngv, rng_r)
             # min via i32 (Mosaic lacks unsigned min); both < 2**20.
             value = jnp.minimum(value.astype(i32), count_i - i32(1))
             if probe == "nosweep":
@@ -175,13 +204,17 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
                 flo = value.astype(u32)
                 fhi = flo + u32(1)
                 delta_v = jnp.where(active, i32(delta), i32(0))
-            elif sweep_mode == "chunk":
-                # Rolled single pass with (CH, G, LN) chunks and carried
-                # accumulators: never materializes the full (S_PAD, G, LN)
-                # mask, trading a few more ALU ops for zero spills.
+            elif sweep_mode != "full":
+                # DEFAULT sweep: rolled single pass with (CH, G, LN)
+                # chunks and carried accumulators — never materializes the
+                # full (S_PAD, G, LN) mask, so the register footprint
+                # stays small enough for phase interleaving (the full-mask
+                # sweep spills ~33 vregs per phase; measured slower on
+                # hardware since the round-4 reciprocal chain fix).
                 upd = active & (count_i < i32(freq_max))
                 delta_v = jnp.where(upd, i32(delta), i32(0))
-                CH = 8
+                CH = int(_os.environ.get("REDUX_TPU_DECODE_CH", "4"))
+                assert S_PAD % CH == 0, "chunk rows must divide S_PAD"
                 acc_sym = jnp.zeros((G, LN), i32)
                 acc_flo = jnp.zeros((G, LN), i32)
                 acc_fhi = jnp.full((G, LN), 0x7FFFFFFF, i32)
@@ -222,8 +255,8 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
             count_i = count_i + delta_v
 
             # Narrow (codec.rs:58-60); z moves with low.
-            dlo = wide32.muldiv(rngv, flo, count)
-            dhi = wide32.muldiv(rngv, fhi, count)
+            dlo = wide32.muldiv_rcp(rngv, flo, count, cnt_r)
+            dhi = wide32.muldiv_rcp(rngv, fhi, count, cnt_r)
             nlow = low + dlo
             nhigh = low + dhi - u32(1)
             nz = z - dlo
@@ -257,6 +290,12 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
             stage_s[pl.ds(stage_row, 1), :, :] = jnp.where(active, sym, i32(0))[None]
             return low, high, z, cur, avail, wq, count_i
 
+        def store_epoch(e):
+            # Store this epoch's symbols (one 32-row uint8 block).
+            out_ref[pl.ds(e * EPOCH, EPOCH), :, :] = stage_s[:, :, :].astype(
+                jnp.uint8
+            )
+
         ring_rows = jax.lax.broadcasted_iota(i32, (RING_SLABS * SLAB, G, LN), 0)
 
         def refill_sweep(cursor_slab):
@@ -285,98 +324,165 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
                     new_nl = jnp.maximum(nl[0], jnp.minimum(want_hi, i32(gend)))
                     nl_s[:, :] = jnp.where(hit, new_nl, nl[0])
 
-        def epoch(e, carry):
+        def prime():
+            # Prime: z = first code_bits bits (codec.rs:124-127).
+            cur0 = jnp.zeros((G, LN), u32)
+            avail0 = jnp.zeros((G, LN), i32)
+            wq0 = jnp.zeros((G, LN), i32)
+            z0, (cur0, avail0, wq0) = read_bits(
+                (cur0, avail0, wq0), jnp.full((G, LN), cb, i32)
+            )
+            return (
+                jnp.zeros((G, LN), u32),  # low  (codec.rs:30)
+                jnp.full((G, LN), cmax, u32),  # high (codec.rs:31)
+                z0,
+                cur0,
+                avail0,
+                wq0,
+                cdf_s[S, :, :],  # running total (register copy of row S)
+            )
+
+        return init, prime, step, store_epoch, refill_sweep
+
+    def kernel(*refs):
+        # Operand layout: init | lens x phases | words x phases |
+        # out x phases | (cdf, ring, stage, nl, smin, smax) x phases.
+        init_ref = refs[0]
+        lens_refs = refs[1 : 1 + phases]
+        words_refs = refs[1 + phases : 1 + 2 * phases]
+        out_refs = refs[1 + 2 * phases : 1 + 3 * phases]
+        sc = refs[1 + 3 * phases :]
+        ph = [
+            _make_phase(
+                init_ref, lens_refs[p], words_refs[p], out_refs[p],
+                *sc[6 * p : 6 * (p + 1)]
+            )
+            for p in range(phases)
+        ]
+        for init, _, _, _, _ in ph:
+            init()
+        carries = tuple(prime() for _, prime, _, _, _ in ph)
+
+        def epoch(e, carries):
             # Steps past k are masked by ``t < lens`` (lens <= k), so the
-            # tail epoch needs no bound.
+            # tail epoch needs no bound.  The phase step bodies are
+            # emitted interleaved (A_ii, B_ii, A_ii+1, ...): the chains
+            # are independent, so the scheduler overlaps one phase's
+            # serial interval chain with the other's model sweep.
             t0 = e * EPOCH
+
+            def all_steps(ii, cs):
+                return tuple(
+                    ph[p][2](t0 + ii, ii, cs[p]) for p in range(phases)
+                )
+
             if unroll:
                 for ii in range(EPOCH):
-                    carry = step(t0 + ii, ii, carry)
+                    carries = all_steps(ii, carries)
             else:
-                carry = jax.lax.fori_loop(
-                    0, EPOCH, lambda ii, c: step(t0 + ii, ii, c), carry
-                )
-            # Store this epoch's symbols (one 32-row uint8 block).
-            out_ref[pl.ds(e * EPOCH, EPOCH), :, :] = stage_s[:, :, :].astype(jnp.uint8)
+                carries = jax.lax.fori_loop(0, EPOCH, all_steps, carries)
+            for _, _, _, store_epoch, _ in ph:
+                store_epoch(e)
 
             # Refill every second epoch: 64 steps consume < 2 slabs, and
             # the sweep tops lanes back up to RING_SLABS resident slabs.
             @pl.when((e & 1) == 1)
             def _():
-                refill_sweep(carry[5] >> i32(5))
-            return carry
+                for p in range(phases):
+                    ph[p][4](carries[p][5] >> i32(5))
+            return carries
 
-        # Prime: z = first code_bits bits (codec.rs:124-127).
-        cur0 = jnp.zeros((G, LN), u32)
-        avail0 = jnp.zeros((G, LN), i32)
-        wq0 = jnp.zeros((G, LN), i32)
-        z0, (cur0, avail0, wq0) = read_bits(
-            (cur0, avail0, wq0), jnp.full((G, LN), cb, i32)
-        )
-        carry = (
-            jnp.zeros((G, LN), u32),  # low  (codec.rs:30)
-            jnp.full((G, LN), cmax, u32),  # high (codec.rs:31)
-            z0,
-            cur0,
-            avail0,
-            wq0,
-            cdf_s[S, :, :],  # running total (register copy of row S)
-        )
-        jax.lax.fori_loop(0, n_epochs, epoch, carry)
+        jax.lax.fori_loop(0, n_epochs, epoch, carries)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("params", "k", "delta"))
-def _decode_pallas_jit(words_t, lens, init_col, params: Parameters, k: int, delta: int):
+@functools.partial(jax.jit, static_argnames=("params", "k", "delta", "phases"))
+def _decode_pallas_jit(words_t, lens, init_col, params: Parameters, k: int,
+                       delta: int, phases: int | None = None):
     wn, b = words_t.shape
     n_tiles = b // LANES
     k_pad = ((k + EPOCH - 1) // EPOCH) * EPOCH
     interp = jax.default_backend() == "cpu"
-    kernel = _decode_kernel(params, k, delta, wn, unroll=not interp)
+    if phases is None:
+        # Phase interleaving is a hardware-scheduling optimization; the
+        # interpreter runs one phase (tests exercise 2 explicitly).
+        phases = 1 if interp else PHASES
+    # Pad the tile count to a phase multiple: the callers' lane quantum
+    # stays LANES (pad_geometry), pad tiles run fully masked steps.
+    t_pad = ((n_tiles + phases - 1) // phases) * phases
+    h = t_pad // phases  # grid length; phase p owns tiles [p*h, (p+1)*h)
+    kernel = _decode_kernel(params, k, delta, wn, phases=phases,
+                            unroll=not interp)
+    if t_pad != n_tiles:
+        words_t = jnp.pad(words_t, ((0, 0), (0, (t_pad - n_tiles) * LANES)))
+        lens = jnp.pad(
+            lens.reshape(1, b), ((0, 0), (0, (t_pad - n_tiles) * LANES))
+        )
     # Relayout the caller's 2-D lane order into the kernel's sublane-packed
     # (rows, G, LN) form: lane ell -> (tile, g, l) with
     # ell = tile*G*LN + g*LN + l.  One device copy each way (~HBM speed),
     # amortized over the whole kernel run.
     w3 = (
-        words_t.reshape(wn, n_tiles, G, LN)
+        words_t.reshape(wn, t_pad, G, LN)
         .transpose(0, 2, 1, 3)
-        .reshape(wn, G, n_tiles * LN)
+        .reshape(wn, G, t_pad * LN)
     )
     l3 = (
-        lens.reshape(n_tiles, G, LN).transpose(1, 0, 2).reshape(G, n_tiles * LN)
+        lens.reshape(t_pad, G, LN).transpose(1, 0, 2).reshape(G, t_pad * LN)
     )
     i3 = init_col.reshape(S_PAD, 1, 1)
-    out = pl.pallas_call(
+    # Per-phase operands: contiguous tile halves of the minor dim (the
+    # kernel takes separate refs per phase — no in-kernel lane slicing).
+    lens_ops = [l3[:, p * h * LN : (p + 1) * h * LN] for p in range(phases)]
+    words_ops = [w3[:, :, p * h * LN : (p + 1) * h * LN] for p in range(phases)]
+    outs = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(h,),
         in_specs=[
             pl.BlockSpec((S_PAD, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, LN), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wn, G, LN), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ]
+        + [
+            pl.BlockSpec((G, LN), lambda i: (0, i), memory_space=pltpu.VMEM)
+            for _ in range(phases)
+        ]
+        + [
+            pl.BlockSpec((wn, G, LN), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+            for _ in range(phases)
         ],
-        out_specs=pl.BlockSpec(
-            (k_pad, G, LN), lambda i: (0, 0, i), memory_space=pltpu.VMEM
-        ),
+        out_specs=[
+            pl.BlockSpec((k_pad, G, LN), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+            for _ in range(phases)
+        ],
         # Mosaic compiles on TPU; everywhere else (CPU tests, the 8-device
         # virtual mesh) the interpreter executes the identical semantics.
         interpret=interp,
-        # words tile + its prefetch double-buffer + the (K, G, LN) u8
-        # output exceed the compiler's default scoped-vmem cap; v5e has
+        # words tiles + their prefetch double-buffers + the (K, G, LN) u8
+        # outputs exceed the compiler's default scoped-vmem cap; v5e has
         # headroom above it.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        out_shape=jax.ShapeDtypeStruct((k_pad, G, n_tiles * LN), jnp.uint8),
-        scratch_shapes=[
-            pltpu.VMEM((S_PAD, G, LN), i32),  # cdf
-            pltpu.VMEM((RING_SLABS * SLAB, G, LN), u32),  # stream ring
-            pltpu.VMEM((EPOCH, G, LN), i32),  # symbol stage
-            pltpu.VMEM((G, LN), i32),  # next-load slab index
-            pltpu.SMEM((1, 1), i32),  # refill span lo
-            pltpu.SMEM((1, 1), i32),  # refill span hi
+        out_shape=[
+            jax.ShapeDtypeStruct((k_pad, G, h * LN), jnp.uint8)
+            for _ in range(phases)
         ],
-    )(i3, l3, w3)
+        scratch_shapes=[
+            s
+            for _ in range(phases)
+            for s in (
+                pltpu.VMEM((S_PAD, G, LN), i32),  # cdf
+                pltpu.VMEM((RING_SLABS * SLAB, G, LN), u32),  # stream ring
+                pltpu.VMEM((EPOCH, G, LN), i32),  # symbol stage
+                pltpu.VMEM((G, LN), i32),  # next-load slab index
+                pltpu.SMEM((1, 1), i32),  # refill span lo
+                pltpu.SMEM((1, 1), i32),  # refill span hi
+            )
+        ],
+    )(i3, *lens_ops, *words_ops)
+    out = outs[0] if phases == 1 else jnp.concatenate(outs, axis=2)
     return (
-        out.reshape(k_pad, G, n_tiles, LN).transpose(0, 2, 1, 3).reshape(k_pad, b)
+        out.reshape(k_pad, G, t_pad, LN)
+        .transpose(0, 2, 1, 3)
+        .reshape(k_pad, t_pad * LANES)[:, :b]
     )
 
 
@@ -401,7 +507,8 @@ def init_cum_column(init_cum, params: Parameters):
 
 
 def decode_blocks_pallas_t(
-    words_t, lens_row, init_col, params: Parameters, k: int, delta: int = 1
+    words_t, lens_row, init_col, params: Parameters, k: int, delta: int = 1,
+    phases: int | None = None,
 ):
     """Transposed-layout entry: zero device-side re-layouts.
 
@@ -418,10 +525,13 @@ def decode_blocks_pallas_t(
     if not (params.fits_u32 or params.fits_wide32):
         raise ValueError("pallas decoder requires fits_u32 or fits_wide32 params")
     with jax.enable_x64(False):
-        return _decode_pallas_jit(words_t, lens_row, init_col, params, k, int(delta))
+        return _decode_pallas_jit(
+            words_t, lens_row, init_col, params, k, int(delta), phases
+        )
 
 
-def decode_blocks_pallas(words, lens, init_cum, params: Parameters, k: int, delta: int = 1):
+def decode_blocks_pallas(words, lens, init_cum, params: Parameters, k: int,
+                         delta: int = 1, phases: int | None = None):
     """Drop-in for :func:`redux_tpu.ops.coder.decode_blocks` (v2 payloads).
 
     Args:
@@ -445,5 +555,7 @@ def decode_blocks_pallas(words, lens, init_cum, params: Parameters, k: int, delt
         words_t = words.T  # (Wn, B): lanes on the 128-wide axis
         lens_p = jnp.pad(lens.astype(jnp.int32), (0, b_pad - b)).reshape(1, b_pad)
         init_col = jnp.asarray(init_cum_column(np.asarray(init_cum), params))
-        out = _decode_pallas_jit(words_t, lens_p, init_col, params, k, int(delta))
+        out = _decode_pallas_jit(
+            words_t, lens_p, init_col, params, k, int(delta), phases
+        )
         return out[:k, :b].T  # (B, k) uint8

@@ -116,10 +116,12 @@ def _encode_kernel(params: Parameters, k: int, n_words: int, n_epochs: int,
             fhi = hi_ref[pl.ds(ii, 1), :, :][0].astype(u32)
             count = jnp.maximum(tot_ref[pl.ds(ii, 1), :, :][0], i32(1)).astype(u32)
 
-            # Interval narrowing (codec.rs:58-60) — exact wide arithmetic.
+            # Interval narrowing (codec.rs:58-60) — exact wide arithmetic;
+            # one shared reciprocal replaces both bounds' divides (wide32).
             rngv = high - low + u32(1)
-            nlow = low + wide32.muldiv(rngv, flo, count)
-            nhigh = low + wide32.muldiv(rngv, fhi, count) - u32(1)
+            cnt_r = wide32.rcp_f32(count)
+            nlow = low + wide32.muldiv_rcp(rngv, flo, count, cnt_r)
+            nhigh = low + wide32.muldiv_rcp(rngv, fhi, count, cnt_r) - u32(1)
             low = jnp.where(active, nlow, low)
             high = jnp.where(active, nhigh, high)
 
@@ -455,10 +457,12 @@ def _encode_kernel_m(params: Parameters, n_words: int, n_epochs: int, delta: int
             cdf_s[:, :] = cdf + jnp.where(le, i32(0), delta_v)
             tot = tot + delta_v
 
-            # Interval narrowing (codec.rs:58-60) — exact wide arithmetic.
+            # Interval narrowing (codec.rs:58-60) — exact wide arithmetic;
+            # one shared reciprocal replaces both bounds' divides (wide32).
             rngv = high - low + u32(1)
-            nlow = low + wide32.muldiv(rngv, flo, count)
-            nhigh = low + wide32.muldiv(rngv, fhi, count) - u32(1)
+            cnt_r = wide32.rcp_f32(count)
+            nlow = low + wide32.muldiv_rcp(rngv, flo, count, cnt_r)
+            nhigh = low + wide32.muldiv_rcp(rngv, fhi, count, cnt_r) - u32(1)
             low = jnp.where(active, nlow, low)
             high = jnp.where(active, nhigh, high)
 

@@ -100,6 +100,76 @@ def muldiv(a, b, d):
     return div_fix(hi, lo, d)
 
 
+# ---------------------------------------------------------------------------
+# Reciprocal-shared variants.
+#
+# Divides (f32 and i32 alike) are long-latency ops on the VPU's special
+# unit and the coder's hot loops issue several per symbol with the SAME
+# divisor (count divides both interval bounds; the round-4 probe
+# attribution put the decode step's serial chain at ~55% of kernel time,
+# dominated by these divides).  The variants below take a precomputed
+# f32 reciprocal — ONE divide per divisor per step — and replace the
+# exact i32-division fixup with a bounded compare ladder:
+#
+#   q_est = floor(xf * (1/d))   with relative error <= ~5 * 2**-24
+#   (xf: <= 3 roundings; 1/d: 1; product: 1), so for quotients < 2**23
+#   the absolute error is <= 2.5, and the true correction
+#   floor((x - q_est*d)/d) = q_true - q_est lies in [-3, 3].  A +/-4
+#   compare ladder (pipelined ALU ops, no divide) recovers it exactly.
+# ---------------------------------------------------------------------------
+
+
+def rcp_f32(d):
+    """``fl(1 / d)`` for integer ``1 <= d < 2**24`` — the one divide,
+    shared across every :func:`div_fix_rcp` with the same divisor."""
+    return jnp.float32(1.0) / d.astype(jnp.int32).astype(jnp.float32)
+
+
+def div_fix_rcp(hi, lo, d, dr):
+    """Exact ``(hi * 2**11 + lo) // d`` given ``dr = rcp_f32(d)``.
+
+    Same contract as :func:`div_fix` (d >= 1, quotient < 2**23) with no
+    division ops at all — mults plus the +/-4 correction ladder.
+    """
+    d = d.astype(_U32)
+    i32 = jnp.int32
+    xf = (
+        hi.astype(i32).astype(jnp.float32) * jnp.float32(1 << _LIMB)
+        + lo.astype(i32).astype(jnp.float32)
+    )
+    q = jnp.floor(xf * dr).astype(i32).astype(_U32)
+    x32 = pair_mod32(hi, lo)
+    di = d.astype(i32)
+    r = (x32 - q * d).astype(i32)  # exact signed remainder (|r| < 5d)
+    d2 = di + di
+    d3 = d2 + di
+    d4 = d3 + di
+    c = (
+        (r >= di).astype(i32)
+        + (r >= d2).astype(i32)
+        + (r >= d3).astype(i32)
+        + (r >= d4).astype(i32)
+        - (r < 0).astype(i32)
+        - (r < -di).astype(i32)
+        - (r < -d2).astype(i32)
+        - (r < -d3).astype(i32)
+    )
+    return q + c.astype(_U32)
+
+
+def muldiv_rcp(a, b, d, dr):
+    """Exact ``a * b // d`` with a precomputed ``dr = rcp_f32(d)``."""
+    hi, lo = mul_split(a, b)
+    return div_fix_rcp(hi, lo, d, dr)
+
+
+def muldiv_sub1_rcp(a, b, d, dr):
+    """Exact ``(a * b - 1) // d`` with ``dr = rcp_f32(d)`` (``a*b >= 1``)."""
+    hi, lo = mul_split(a, b)
+    hi, lo = pair_sub1(hi, lo)
+    return div_fix_rcp(hi, lo, d, dr)
+
+
 def muldiv_sub1(a, b, d):
     """Exact ``(a * b - 1) // d`` (the decoder's value formula, codec.rs:131).
 

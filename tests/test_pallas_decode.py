@@ -116,3 +116,38 @@ def test_divergent_rates_slab_refill():
     blocks[3] = blocks[3][:k]
     ic = uniform_init_cum(params).astype(np.int32)
     _roundtrip(blocks, params, ic, delta=16, k=k)
+
+
+def test_two_phase_interleave_matches_oracle(monkeypatch):
+    """The production TPU kernel config on the interpreter: phases=2 (two
+    independent lane tiles interleaved in one program) + the chunked
+    sweep — same bitstream contract, including an ODD tile count that
+    forces the internal phase padding.  The env var must be set because
+    interpret mode defaults to the (bit-identical) full-mask sweep; the
+    distinct (k, phases) keeps the jit cache from reusing a full-sweep
+    compile."""
+    monkeypatch.setenv("REDUX_TPU_DECODE_SWEEP", "chunk")
+    params = Parameters.tpu_wide()
+    rng = np.random.default_rng(5)
+    k = 96
+    ic = uniform_init_cum(params)
+    # 3 tiles of the conftest-pinned 128-lane width: 300 blocks pad to
+    # 384 lanes -> t_pad = 4 tiles, phase B's last tile fully masked.
+    blocks = []
+    for i in range(300):
+        n = int(rng.integers(1, k + 1))
+        src = rng.integers(0, 256 if i % 3 else 7, n, dtype=np.uint8)
+        blocks.append(bytes(src))
+    streams = _encode_blocks_oracle(blocks, params, ic, 16)
+    words = _to_words(streams)
+    lens = np.array([len(b) for b in blocks], dtype=np.int32)
+    got = np.asarray(
+        decode_blocks_pallas(
+            jnp.asarray(words), jnp.asarray(lens), jnp.asarray(ic), params,
+            k, 16, phases=2,
+        )
+    )
+    for i, b in enumerate(blocks):
+        np.testing.assert_array_equal(
+            got[i, : len(b)], np.frombuffer(b, dtype=np.uint8), err_msg=f"block {i}"
+        )

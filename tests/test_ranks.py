@@ -94,3 +94,29 @@ def test_ranks_with_warm_start_prior():
         count = m.total_frequency()
         low_f, high_f = m.get_frequency(p.symbol_eof)
         assert (et[b], el[b], eh[b]) == (count, low_f, high_f), b
+
+
+def test_fused_model_values_match_rank_formulation():
+    """The production fused path (_model_values_parallel: precombined
+    T_lo/T_hi tables, one shared equality mask) against the original
+    two-rank formulation (_ranks_parallel) on random symbol streams with
+    freeze cutoffs — the two derivations must agree everywhere."""
+    import jax.numpy as jnp
+
+    from redux_tpu.ops.ranks import _model_values_parallel, _ranks_parallel
+
+    rng = np.random.default_rng(17)
+    B, Kp, chunk, n_symbols, delta = 6, 256, 64, 257, 3
+    syms = rng.integers(0, 256, (B, Kp), dtype=np.int32)
+    limit = np.array([0, 1, 63, 64, 200, 256], dtype=np.int32)
+    init_cum = np.arange(n_symbols + 1, dtype=np.int32) * 2  # any monotone row
+    c, d = _ranks_parallel(jnp.asarray(syms), jnp.asarray(limit), n_symbols, chunk)
+    lo, hi = _model_values_parallel(
+        jnp.asarray(syms), jnp.asarray(limit), jnp.asarray(init_cum),
+        n_symbols, chunk, delta,
+    )
+    c, d, lo, hi = (np.asarray(x) for x in (c, d, lo, hi))
+    exp_lo = init_cum[syms] + delta * c
+    exp_hi = init_cum[syms + 1] + delta * (c + d)
+    np.testing.assert_array_equal(lo, exp_lo)
+    np.testing.assert_array_equal(hi, exp_hi)
