@@ -81,7 +81,8 @@ def main() -> None:
     print(
         f"encode {result['encode_gbps']:.3f} GB/s, decode {result['decode_gbps']:.3f} GB/s, "
         f"e2e {result['encode_e2e_gbps']:.3f}/{result['decode_e2e_gbps']:.3f} GB/s, "
-        f"ratio {result['ratio']:.3f}, pallas={result['pallas']}, verified={result['verified']}",
+        f"ratio {result['ratio']:.3f}, pallas={result['pallas']}, verified={result['verified']}, "
+        f"spread enc {result['encode_spread_ms']} / dec {result['decode_spread_ms']} ms",
         file=sys.stderr,
     )
     print(json.dumps({

@@ -44,6 +44,41 @@ def _sync(*arrays) -> None:
     jax.block_until_ready(arrays)
 
 
+# Any queued-iteration measurement implying more than this is a timing
+# artifact, not a kernel: the fastest single stage ever measured on this
+# chip is the ~8 GB/s streaming encode kernel.  (Observed once: a decode
+# loop "completed" in 0.06 ms/iter = 159 GB/s — the tunnel resolved the
+# queued futures without the executions having run.)
+_SANITY_GBPS = 25.0
+
+
+def _timed_median(step, iters: int, n_bytes: int, repeats: int, vlog, name: str):
+    """Median of ``repeats`` queued-iteration timings, artifact-guarded.
+
+    Each timing queues ``iters`` dispatches and syncs once (per-iteration
+    sync would measure the tunnel RTT, not the kernel).  Implausibly fast
+    repetitions are discarded and re-run (bounded); the spread is logged
+    so a noisy measurement is visible in the bench output.
+    """
+    times = []
+    for _ in range(3 * repeats):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = step()
+        jax.block_until_ready(out)
+        t = (time.perf_counter() - t0) / iters
+        if n_bytes / t / 1e9 > _SANITY_GBPS:
+            vlog(f"{name}: discarded implausible {n_bytes / t / 1e9:.0f} GB/s run")
+            continue
+        times.append(t)
+        if len(times) == repeats:
+            break
+    times.sort()
+    vlog(f"{name}: {', '.join(f'{x * 1e3:.1f}' for x in times)} ms/iter")
+    return times[len(times) // 2], times
+
+
 def run_device_benchmark(data: bytes, block_size: int = 0, iters: int = 10,
                          verbose: bool = False):
     import sys
@@ -100,14 +135,9 @@ def run_device_benchmark(data: bytes, block_size: int = 0, iters: int = 10,
     words, byte_lens, ovf = encode_step()
     _sync(words, byte_lens, ovf)
     vlog("encode warmup done")
-    # Queued async iterations + one final sync: the host->device dispatch
-    # round-trip over the axon tunnel is tens of ms and would otherwise
-    # dominate a per-iteration-synced measurement of a ~10 ms kernel.
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        words, byte_lens, ovf = encode_step()
-    jax.block_until_ready((words, byte_lens, ovf))
-    t_enc = (time.perf_counter() - t0) / iters
+    t_enc, enc_times = _timed_median(
+        encode_step, iters, len(data), 3, vlog, "encode"
+    )
     vlog(f"encode timed: {t_enc*1e3:.1f} ms/iter")
 
     # Decode input: the device-resident stream matrix (transposed layout
@@ -150,11 +180,9 @@ def run_device_benchmark(data: bytes, block_size: int = 0, iters: int = 10,
     decoded = decode_step()
     _sync(decoded)
     vlog("decode warmup done")
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        decoded = decode_step()
-    jax.block_until_ready(decoded)
-    t_dec = (time.perf_counter() - t0) / iters
+    t_dec, dec_times = _timed_median(
+        decode_step, iters, len(data), 3, vlog, "decode"
+    )
 
     # Verification (host, untimed; raw blocks spliced from the source).
     dec_np = np.asarray(decoded)
@@ -172,6 +200,13 @@ def run_device_benchmark(data: bytes, block_size: int = 0, iters: int = 10,
     verified = bool(got.reshape(-1)[: len(data)].tobytes() == data)
 
     # Wire size from the real container (host, untimed) + e2e wall times.
+    # One untimed warmup pass first: the api shapes differ from the
+    # kernel-bench shapes above, so the first call pays jit compiles that
+    # would otherwise be billed to "end-to-end" (observed as 0.000 GB/s).
+    vlog("e2e warmup (api compile) start")
+    archive = api.encode(data, params=params, block_size=block_size, delta=DELTA)
+    rt = api.decode(archive)
+    verified = verified and rt == data
     vlog("e2e api.encode start")
     t0 = time.perf_counter()
     archive = api.encode(data, params=params, block_size=block_size, delta=DELTA)
@@ -188,6 +223,8 @@ def run_device_benchmark(data: bytes, block_size: int = 0, iters: int = 10,
         "aggregate_gbps": 2 * n / (t_enc + t_dec) / 1e9,
         "encode_e2e_gbps": n / t_enc_e2e / 1e9,
         "decode_e2e_gbps": n / t_dec_e2e / 1e9,
+        "encode_spread_ms": [round(t * 1e3, 2) for t in enc_times],
+        "decode_spread_ms": [round(t * 1e3, 2) for t in dec_times],
         "ratio": n / len(archive),
         "verified": verified,
         "n_blocks": n_blocks,

@@ -80,16 +80,19 @@ u32 = jnp.uint32
 
 
 def _encode_kernel(params: Parameters, k: int, n_words: int, n_epochs: int,
-                   unroll: bool = True):
+                   adapt_delta: int = 1, unroll: bool = True):
     cb = params.code_bits
     cmax = params.code_max
     half = params.code_half
     quarter = params.code_one_fourth
 
-    def kernel(lens_ref, lo_ref, hi_ref, tot_ref, out_ref, blen_ref, ovf_ref,
+    def kernel(lens_ref, lo_ref, hi_ref, consts_ref, out_ref, blen_ref, ovf_ref,
                st_s, ring_s, nw_s, nd_s, acc_s, iv_s):
         e = pl.program_id(1)
         lens = lens_ref[:, :]  # (EG, LN)
+        init_total = consts_ref[0, 0]  # SMEM scalars: model totals are a
+        tfreeze = consts_ref[0, 1]  # closed form of t (ranks.py), computed
+        # in-kernel instead of streaming a third (B, K) plane from HBM
 
         @pl.when(e == 0)
         def _init():
@@ -114,7 +117,11 @@ def _encode_kernel(params: Parameters, k: int, n_words: int, n_epochs: int,
 
             flo = lo_ref[pl.ds(ii, 1), :, :][0].astype(u32)
             fhi = hi_ref[pl.ds(ii, 1), :, :][0].astype(u32)
-            count = jnp.maximum(tot_ref[pl.ds(ii, 1), :, :][0], i32(1)).astype(u32)
+            # tot_t = init_total + delta * min(t, lens, t_freeze)
+            # (ranks.precompute_encode_model's closed form; pad lanes have
+            # lens = -1, giving init_total - delta >= 2 — no div-by-zero).
+            n_upd = jnp.minimum(jnp.minimum(t + jnp.zeros((EG, LN), i32), lens), tfreeze)
+            count = jnp.maximum(init_total + i32(adapt_delta) * n_upd, i32(1)).astype(u32)
 
             # Interval narrowing (codec.rs:58-60) — exact wide arithmetic;
             # one shared reciprocal replaces both bounds' divides (wide32).
@@ -301,15 +308,17 @@ def _encode_kernel(params: Parameters, k: int, n_words: int, n_epochs: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("params", "n_words"))
-def _encode_pallas_jit(lo_t, hi_t, tot_t, lens, params: Parameters, n_words: int):
+@functools.partial(jax.jit, static_argnames=("params", "n_words", "delta"))
+def _encode_pallas_jit(lo_t, hi_t, consts, lens, params: Parameters, n_words: int,
+                       delta: int = 1):
     k_pad, b = lo_t.shape
     n_tiles = b // LANES
     n_epochs = k_pad // EPOCH
     k = k_pad  # steps cover t in [0, k_pad); callers pad past lens
     nw_pad = ((n_words + SLAB - 1) // SLAB) * SLAB
     interp = jax.default_backend() == "cpu"
-    kernel = _encode_kernel(params, k, nw_pad, n_epochs, unroll=not interp)
+    kernel = _encode_kernel(params, k, nw_pad, n_epochs, adapt_delta=delta,
+                            unroll=not interp)
 
     # Sublane-packed relayout: lane ell -> (tile, g, l) with
     # ell = tile*EG*LN + g*LN + l (one device copy each way).
@@ -330,7 +339,7 @@ def _encode_pallas_jit(lo_t, hi_t, tot_t, lens, params: Parameters, n_words: int
             pl.BlockSpec((EG, LN), lambda i, e: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((EPOCH, EG, LN), lambda i, e: (e, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((EPOCH, EG, LN), lambda i, e: (e, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((EPOCH, EG, LN), lambda i, e: (e, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i, e: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((nw_pad, EG, LN), lambda i, e: (0, 0, i), memory_space=pltpu.VMEM),
@@ -350,7 +359,7 @@ def _encode_pallas_jit(lo_t, hi_t, tot_t, lens, params: Parameters, n_words: int
             pltpu.VMEM((4, EG, LN), u32),  # acc a0..a2 + accbits
             pltpu.VMEM((4, EG, LN), u32),  # low, high, pending, ovf
         ],
-    )(l3, to3(lo_t), to3(hi_t), to3(tot_t))
+    )(l3, to3(lo_t), to3(hi_t), consts)
     # Back to the caller's 2-D lane order.
     words = (
         out.reshape(nw_pad, EG, n_tiles, LN).transpose(0, 2, 1, 3).reshape(nw_pad, b)
@@ -360,12 +369,17 @@ def _encode_pallas_jit(lo_t, hi_t, tot_t, lens, params: Parameters, n_words: int
     return words, blen2, ovf2
 
 
-def encode_blocks_pallas(lo, hi, tot, lens, params: Parameters, n_words: int):
+def encode_blocks_pallas(lo, hi, lens, init_total, params: Parameters,
+                         n_words: int, delta: int = 1):
     """Drop-in for :func:`redux_tpu.ops.coder.encode_blocks_v2`.
 
-    Args: ``(B, K)`` int32 model triples (rank precompute), ``(B,)``
-    lens.  Returns ``(words (B, n_words) u32, byte_lens (B,), ovf (B,))``
-    with streams bit-identical to the XLA encoder.
+    Args: ``(B, K)`` int32 lo/hi model values (rank precompute), ``(B,)``
+    lens, and the scalar initial model total (``init_cum[-1]``) — the
+    per-position totals are a closed form of ``t`` and are computed
+    inside the kernel instead of streaming a third (B, K) plane from HBM
+    (one third of the kernel's input bandwidth).  Returns
+    ``(words (B, n_words) u32, byte_lens (B,), ovf (B,))`` with streams
+    bit-identical to the XLA encoder.
     """
     if not (params.fits_u32 or params.fits_wide32):
         raise ValueError("pallas encoder requires fits_u32 or fits_wide32 params")
@@ -381,11 +395,20 @@ def encode_blocks_pallas(lo, hi, tot, lens, params: Parameters, n_words: int):
 
         lo_t = prep(lo, 0)
         hi_t = prep(hi, 0)
-        tot_t = prep(tot, 1)  # ones: no div-by-zero on padded steps
+        it0 = jnp.asarray(init_total, jnp.int32).reshape(())
+        # Updates stop once the running total reaches freq_max
+        # (adaptive_linear.rs:34; identical formula in ranks.py).
+        tfreeze = jnp.maximum(
+            (jnp.int32(params.freq_max) - it0 + (delta - 1)) // jnp.int32(delta),
+            0,
+        )
+        consts = jnp.stack([it0, tfreeze]).reshape(1, 2)
         lens_p = jnp.pad(lens.astype(jnp.int32), (0, b_pad - b),
                          constant_values=-1).reshape(1, b_pad)
         nw_pad = ((n_words + SLAB - 1) // SLAB) * SLAB
-        words_t, blen, ovf = _encode_pallas_jit(lo_t, hi_t, tot_t, lens_p, params, nw_pad)
+        words_t, blen, ovf = _encode_pallas_jit(
+            lo_t, hi_t, consts, lens_p, params, nw_pad, int(delta)
+        )
         return words_t.T[:b, :n_words], blen[0, :b], ovf[0, :b].astype(bool)
 
 
@@ -745,7 +768,10 @@ def encode_blocks_ranked(syms, lens, init_cum, params: Parameters, n_words: int,
     # x64 off for the whole trace: the Pallas kernel has no 64-bit types,
     # and every rank quantity fits int32 (counts < 2**20).
     with jax.enable_x64(False):
-        lo, hi, tot, _el, _eh, _et = precompute_encode_model(
-            syms, lens, init_cum, params.freq_max, delta=delta
+        lo, hi, _tot, _el, _eh, _et = precompute_encode_model(
+            syms, lens, init_cum, params.freq_max, delta=delta, with_tot=False
         )
-        return encode_blocks_pallas(lo, hi, tot, lens, params, n_words)
+        init_total = jnp.asarray(init_cum, jnp.int32)[-1]
+        return encode_blocks_pallas(
+            lo, hi, lens, init_total, params, n_words, delta
+        )

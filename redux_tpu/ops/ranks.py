@@ -175,6 +175,7 @@ def precompute_encode_model(
     freq_max: int,
     chunk: int = 64,
     delta: int = 1,
+    with_tot: bool = True,
 ):
     """Per-position model values for the vectorized encoder.
 
@@ -211,9 +212,15 @@ def precompute_encode_model(
         symbols, contrib_limit, init_cum, n_symbols, chunk, int(delta)
     )
     lo, hi = lo[:, :K], hi[:, :K]
-    t_idx = jnp.arange(K, dtype=jnp.int32)[None, :]
-    n_upd_t = jnp.minimum(jnp.minimum(t_idx, lens[:, None]), t_freeze)
-    tot = init_total + delta * n_upd_t
+    if with_tot:
+        t_idx = jnp.arange(K, dtype=jnp.int32)[None, :]
+        n_upd_t = jnp.minimum(jnp.minimum(t_idx, lens[:, None]), t_freeze)
+        tot = init_total + delta * n_upd_t
+    else:
+        # The Pallas streaming encoder computes the closed-form totals
+        # in-kernel (encode_blocks_pallas) — skip materializing the
+        # (B, K) plane (one third of the rank output HBM traffic).
+        tot = None
 
     n_upd = jnp.maximum(0, jnp.minimum(lens, t_freeze))  # updates before EOF
     eof_lo = init_cum[n_symbols - 1] + delta * n_upd

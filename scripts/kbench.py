@@ -106,8 +106,11 @@ def main():
         print(f"ranks: {t_rank*1e3:.1f} ms  {len(data)/t_rank/1e9:.3f} GB/s")
         lo, hi, tot = pre
 
+        init_total = jnp.asarray(ic, jnp.int32)[-1]
+
         def enc2_step():
-            return encode_blocks_pallas(lo, hi, tot, lens, params, n_words)
+            return encode_blocks_pallas(lo, hi, lens, init_total, params,
+                                        n_words, args.delta)
 
         w2 = enc2_step()
         sync(*w2)

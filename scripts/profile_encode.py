@@ -74,14 +74,17 @@ def main():
 
     from redux_tpu.ops.pallas_encode import encode_blocks_pallas
 
-    t_enc_pl, _ = timeit(lambda: encode_blocks_pallas(lo, hi, tot, lens, params, n_words))
+    init_total = jnp.asarray(icj, jnp.int32)[-1]
+    t_enc_pl, _ = timeit(
+        lambda: encode_blocks_pallas(lo, hi, lens, init_total, params, n_words, delta)
+    )
     print(f"pallas encode kernel: {t_enc_pl*1e3:.1f} ms  ({n/t_enc_pl/1e9:.3f} GB/s)", flush=True)
 
     def encode_step():
         lo2, hi2, tot2, _, _, _ = precompute_encode_model(
             syms, lens, icj, params.freq_max, delta=delta
         )
-        return encode_blocks_pallas(lo2, hi2, tot2, lens, params, n_words)
+        return encode_blocks_pallas(lo2, hi2, lens, init_total, params, n_words, delta)
 
     t_comp, _ = timeit(encode_step)
     print(f"composite encode_step: {t_comp*1e3:.1f} ms  ({n/t_comp/1e9:.3f} GB/s)", flush=True)

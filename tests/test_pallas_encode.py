@@ -24,12 +24,15 @@ def _run(blocks, params, delta, k):
         lens[i] = len(d)
     ic = uniform_init_cum(params).astype(np.int32)
     lo, hi, tot, _, _, _ = precompute_encode_model(
-        jnp.asarray(syms), jnp.asarray(lens), jnp.asarray(ic), params.freq_max, delta=delta
+        jnp.asarray(syms), jnp.asarray(lens), jnp.asarray(ic), params.freq_max,
+        delta=delta, with_tot=False,
     )
+    assert tot is None  # totals are computed in-kernel (closed form of t)
     max_count = min(params.symbol_count + delta * k, params.freq_max)
     n_words = max_block_words(max_count, params.symbol_count, params, k)
     words, byte_lens, ovf = encode_blocks_pallas(
-        lo, hi, tot, jnp.asarray(lens), params, n_words
+        lo, hi, jnp.asarray(lens), jnp.asarray(ic, dtype=jnp.int32)[-1],
+        params, n_words, delta
     )
     words = np.asarray(words)
     byte_lens = np.asarray(byte_lens)
