@@ -7,7 +7,7 @@
 PY ?= python
 PYTEST = JAX_PLATFORMS=cpu PYTHONPATH=. $(PY) -m pytest
 
-.PHONY: test test-release bench-smoke bench scaling multihost ci
+.PHONY: test test-release bench-smoke bench bench-preflight scaling multihost ci
 
 # Fast tier: every unit/differential/integration test that runs in debug
 # builds of the reference (artificial corpus included, grid gated).
@@ -23,8 +23,14 @@ test-release:
 bench-smoke:
 	PYTHONPATH=.:$$PYTHONPATH $(PY) bench.py --smoke
 
+# Compiled-mode kernel preflight: the Mosaic kernels must round-trip
+# bit-exactly on the real chip before any number is trusted (auto-skips
+# on machines without an accelerator).
+bench-preflight:
+	$(PYTEST) tests/test_tpu_hardware.py -q
+
 # Full benchmark (driver contract: one JSON line; real TPU).
-bench:
+bench: bench-preflight
 	PYTHONPATH=.:$$PYTHONPATH $(PY) bench.py
 
 scaling:

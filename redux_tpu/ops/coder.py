@@ -570,6 +570,13 @@ def compact_flushed_words(ws0, ws1, nv, n_words):
         delta = jnp.where(m_in, shift_up(delta, sh), delta)
         valid = m_in | (valid & ~move)
 
+    if P < n_words:
+        # Tiny blocks (2 words/step * steps < n_words): pad rows so the
+        # caller's (n_words, B) tail merge broadcasts (only the first nw
+        # rows are meaningful either way).
+        val = jnp.concatenate(
+            [val, jnp.zeros((n_words - P, B), val.dtype)], axis=0
+        )
     return val[:n_words], nw
 
 

@@ -11,7 +11,12 @@ import pathlib
 
 # Force CPU: the harness exports JAX_PLATFORMS=axon (the tunneled TPU),
 # which is far too slow for the dispatch-heavy unit tests and must be
-# reserved for benchmarks.
+# reserved for benchmarks.  Stash the original platform first so the
+# hardware-kernel test (test_tpu_hardware.py) can auto-enable itself
+# when the suite runs on a machine that actually has an accelerator.
+os.environ.setdefault(
+    "REDUX_TPU_ORIG_PLATFORMS", os.environ.get("JAX_PLATFORMS", "")
+)
 os.environ["JAX_PLATFORMS"] = "cpu"
 # Small kernel lane width on CPU: interpret-mode cost scales with padded
 # lanes; semantics are lane-width independent (the TPU default is wider).

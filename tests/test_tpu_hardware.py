@@ -6,10 +6,12 @@ sublane-packed layouts, statically-unrolled sweeps) only compile on
 hardware.  This test round-trips the production kernels in COMPILED mode
 through a subprocess that targets the real backend.
 
-Opt-in via REDUX_TPU_HW_TESTS=1 (first compile of the small test shapes
-takes minutes on a cold cache, so it is not part of the default tiers):
-
-    REDUX_TPU_HW_TESTS=1 python -m pytest tests/test_tpu_hardware.py -v
+AUTO-ENABLED when the machine has an accelerator (the conftest stashes
+the pre-pin JAX_PLATFORMS in REDUX_TPU_ORIG_PLATFORMS; a non-cpu value
+means a real backend is configured) — Mosaic-only regressions must not
+ship untested when hardware is right there.  Force with
+REDUX_TPU_HW_TESTS=1, or skip with REDUX_TPU_HW_TESTS=0 (first compile
+of the test shapes takes minutes on a cold cache).
 """
 
 import os
@@ -62,9 +64,18 @@ print("TPU compiled-mode kernels: bit-exact")
 """
 
 
+def _hardware_available() -> bool:
+    """True when the suite should drive the real accelerator backend."""
+    forced = os.environ.get("REDUX_TPU_HW_TESTS")
+    if forced is not None:
+        return forced not in ("", "0")
+    orig = os.environ.get("REDUX_TPU_ORIG_PLATFORMS", "")
+    return bool(orig) and orig != "cpu"
+
+
 @pytest.mark.skipif(
-    not os.environ.get("REDUX_TPU_HW_TESTS"),
-    reason="set REDUX_TPU_HW_TESTS=1 (needs real TPU; cold compile takes minutes)",
+    not _hardware_available(),
+    reason="no accelerator backend configured (REDUX_TPU_HW_TESTS=1 forces)",
 )
 def test_compiled_kernels_bit_exact_on_hardware():
     env = dict(os.environ)
