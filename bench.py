@@ -82,7 +82,8 @@ def main() -> None:
         f"encode {result['encode_gbps']:.3f} GB/s, decode {result['decode_gbps']:.3f} GB/s, "
         f"e2e {result['encode_e2e_gbps']:.3f}/{result['decode_e2e_gbps']:.3f} GB/s, "
         f"ratio {result['ratio']:.3f}, pallas={result['pallas']}, verified={result['verified']}, "
-        f"spread enc {result['encode_spread_ms']} / dec {result['decode_spread_ms']} ms",
+        f"spread enc {result['encode_spread_ms']} / dec {result['decode_spread_ms']} ms, "
+        f"host<->device tunnel {result['tunnel_gbps']:.3f} GB/s (e2e bound)",
         file=sys.stderr,
     )
     print(json.dumps({

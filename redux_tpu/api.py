@@ -137,6 +137,20 @@ def _auto_block_size(n: int) -> int:
 _AUTO_BS_MIN = 1 << 21  # auto block sizing only pays for multi-tile inputs
 
 
+def _enc_chunk_bytes() -> int:
+    """Input bytes per encode kernel dispatch (large-input lane chunking).
+
+    The ranked encoder materializes ~8 bytes of HBM per input byte for
+    its lo/hi rank planes, so unbounded single dispatches would exhaust
+    a 16 GB chip near ~1 GB of input.  Chunking lanes bounds the planes
+    to ~2 GB per dispatch; chunks are dispatched sequentially with a
+    sync between (queuing several pins all their planes at once —
+    measured pathological on-chip)."""
+    import os
+
+    return int(os.environ.get("REDUX_TPU_ENC_CHUNK_MB", "256")) << 20
+
+
 def _use_pallas(params: Parameters) -> bool:
     """Mosaic kernels run on real TPU backends; XLA paths everywhere else.
 
@@ -229,58 +243,110 @@ def encode(
     # keeps the Pallas encode kernel's VMEM output block ~ block_size.
     n_words = min(_static_words(params, k, delta), k // 4 + 16)
     _mark("split")
-    lens_j = jnp.asarray(lens)
-    if _use_pallas(params):
-        # Model-in-kernel path: no rank precompute, no lo/hi/tot streams.
-        mesh = _dp_mesh()
-        if mesh is not None:
-            from .parallel.mesh import encode_blocks_ranked_sharded
-
-            words, byte_lens, ovf = encode_blocks_ranked_sharded(
-                jnp.asarray(syms), lens_j, jnp.asarray(ic), params, n_words,
-                mesh, delta,
-            )
-        else:
-            from .ops.pallas_encode import encode_blocks_ranked
-
-            words, byte_lens, ovf = encode_blocks_ranked(
-                jnp.asarray(syms), lens_j, jnp.asarray(ic), params, n_words, delta
-            )
-    else:
-        lo, hi, tot, _el, _eh, _et = precompute_encode_model(
-            jnp.asarray(syms), lens_j, jnp.asarray(ic), params.freq_max,
-            delta=delta,
-        )
-        words, byte_lens, ovf = encode_blocks_v2(lo, hi, tot, lens_j, params, n_words)
-    byte_lens = np.asarray(byte_lens)[:n_blocks]
-    ovf = np.asarray(ovf)[:n_blocks]
-    _mark("kernel+lens")
-    # Stored-raw decision (backend-independent, vectorized): overflowed
-    # lanes and any block whose coded stream is not smaller than raw.
     blk_lens = np.minimum(
         block_size, len(data) - block_size * np.arange(n_blocks, dtype=np.int64)
     )
-    raw_v = ovf.astype(bool) | (byte_lens >= blk_lens)
-    if int(byte_lens.max(initial=0)) > 4 * n_words and not bool(
-        raw_v[byte_lens > 4 * n_words].all()
-    ):
-        raise InvalidInputError()  # buffer bound violated — never silent
-    # Trim to the words/lanes actually used and fetch as uint8.
-    coded = byte_lens[~raw_v]
-    coded_max = int(coded.max()) if coded.size else 1
-    wcap = _pad_lanes(max(1, -(-coded_max // 4)))
-    wcap = min(wcap, n_words)
-    byts = np.asarray(words_to_bytes_device(words[:n_blocks, :wcap]))
-    _mark("fetch")
-    raw = raw_v.tolist()
-    streams = [
-        data[i * block_size : i * block_size + blk_lens[i]]
-        if raw[i]
-        else byts[i, : byte_lens[i]].tobytes()
-        for i in range(n_blocks)
-    ]
+
+    def _encode_lanes(syms_i, lens_i, m):
+        """One kernel dispatch over a lane slab; returns host-side
+        (coded u8 matrix, byte_lens, ovf) trimmed to the m real lanes."""
+        lens_j = jnp.asarray(lens_i)
+        if _use_pallas(params):
+            # Ranked path: parallel model precompute + streaming coder.
+            mesh = _dp_mesh()
+            if mesh is not None:
+                from .parallel.mesh import encode_blocks_ranked_sharded
+
+                words, bl, ov = encode_blocks_ranked_sharded(
+                    jnp.asarray(syms_i), lens_j, jnp.asarray(ic), params,
+                    n_words, mesh, delta,
+                )
+            else:
+                from .ops.pallas_encode import encode_blocks_ranked
+
+                words, bl, ov = encode_blocks_ranked(
+                    jnp.asarray(syms_i), lens_j, jnp.asarray(ic), params,
+                    n_words, delta,
+                )
+        else:
+            lo, hi, tot, _el, _eh, _et = precompute_encode_model(
+                jnp.asarray(syms_i), lens_j, jnp.asarray(ic), params.freq_max,
+                delta=delta,
+            )
+            words, bl, ov = encode_blocks_v2(lo, hi, tot, lens_j, params, n_words)
+        bl_np = np.asarray(bl)[:m]
+        ov_np = np.asarray(ov)[:m]
+        # Trim to the words actually used and fetch as uint8.
+        wcap = min(_pad_lanes(max(1, -(-int(bl_np.max(initial=1)) // 4))), n_words)
+        byts = np.asarray(words_to_bytes_device(words[:m, :wcap]))
+        return byts, bl_np, ov_np
+
+    # Large inputs go through the kernels in lane chunks so the ranked
+    # path's ~8 B/B HBM rank planes stay bounded (see _enc_chunk_bytes);
+    # chunks run sequentially (sync per chunk via the host fetch).
+    chunk_lanes = max(128, (_enc_chunk_bytes() // max(k, 1)) // 128 * 128)
+    cat_parts, bl_parts, raw_parts = [], [], []
+    for s0 in range(0, n_blocks, chunk_lanes):
+        s1 = min(s0 + chunk_lanes, n_blocks)
+        if s0 == 0 and s1 == n_blocks:
+            syms_i, lens_i = syms, lens  # pre-padded single dispatch
+        else:
+            m_pad = _pad_lanes(s1 - s0)
+            end = min(s0 + m_pad, syms.shape[0])
+            syms_i = syms[s0:end]
+            lens_i = lens[s0:end]
+            if end - s0 < m_pad:
+                syms_i = np.pad(syms_i, ((0, m_pad - (end - s0)), (0, 0)))
+                lens_i = np.pad(lens_i, (0, m_pad - (end - s0)))
+            lens_i = np.where(np.arange(len(lens_i)) < s1 - s0, lens_i, 0)
+        byts_i, bl_i, ov_i = _encode_lanes(syms_i, lens_i, s1 - s0)
+        blk_i = blk_lens[s0:s1]
+        # Stored-raw decision (vectorized): overflowed lanes and any
+        # block whose coded stream is not smaller than raw.
+        raw_i = ov_i.astype(bool) | (bl_i >= blk_i)
+        if int(bl_i.max(initial=0)) > 4 * n_words and not bool(
+            raw_i[bl_i > 4 * n_words].all()
+        ):
+            raise InvalidInputError()  # buffer bound violated — never silent
+        # Coded payload bytes of this chunk, in block order (offset-table
+        # mask extraction — no per-block Python slicing).
+        mask = (
+            np.arange(byts_i.shape[1], dtype=np.int32)[None, :]
+            < np.where(raw_i, 0, bl_i)[:, None]
+        )
+        cat_parts.append(byts_i[mask])
+        bl_parts.append(bl_i)
+        raw_parts.append(raw_i)
+    byte_lens = (
+        np.concatenate(bl_parts) if bl_parts else np.zeros(0, np.int32)
+    )
+    raw_v = (
+        np.concatenate(raw_parts) if raw_parts else np.zeros(0, bool)
+    )
+    coded_cat = (
+        np.concatenate(cat_parts) if cat_parts else np.zeros(0, np.uint8)
+    )
+    _mark("kernel+fetch")
+    # Payload assembly: the coded bytes are already concatenated in block
+    # order; stored-raw segments (rare — incompressible blocks) splice in
+    # at their positions, splitting the coded run only at those points.
+    coded_lens = np.where(raw_v, 0, byte_lens)
+    raw_idx = np.flatnonzero(raw_v)
+    if raw_idx.size:
+        cuts = np.cumsum(coded_lens)[raw_idx]
+        pieces = np.split(coded_cat, cuts)
+        parts = []
+        for j, i in enumerate(raw_idx):
+            parts.append(pieces[j].tobytes())
+            parts.append(data[i * block_size : i * block_size + blk_lens[i]])
+        parts.append(pieces[-1].tobytes())
+        payload = b"".join(parts)
+    else:
+        payload = coded_cat.tobytes()
+    wire_lens = np.where(raw_v, blk_lens, byte_lens).astype(np.int64)
     out = container.build_archive(
-        params, block_size, len(data), streams, prior_extra, delta, crc, raw
+        params, block_size, len(data), [], prior_extra, delta, crc,
+        raw_v.tolist(), payload=payload, stream_lens=wire_lens.tolist(),
     )
     _mark("splice")
     return out
@@ -305,7 +371,7 @@ def decode(archive: bytes, _timings: Optional[dict] = None) -> bytes:
         tt[name] = tt.get(name, 0.0) + (now - t0)
         t0 = now
 
-    header, streams = container.parse_archive(archive)
+    header, _ = container.parse_archive(archive, with_streams=False)
     params = header.params
     if header.orig_len == 0:
         container.verify_crc(header, b"")
@@ -322,7 +388,9 @@ def decode(archive: bytes, _timings: Optional[dict] = None) -> bytes:
     k = header.block_size
     n_words = _static_words(params, k, header.delta)
     b_pad = _pad_lanes(n_blocks)
-    stream_lens = np.fromiter((len(s) for s in streams), np.int32, n_blocks)
+    arch_u8 = np.frombuffer(archive, dtype=np.uint8)
+    stream_offs = header.stream_offs
+    stream_lens = np.asarray(header.block_byte_lens, dtype=np.int64)
     if (stream_lens[raw_v] != block_lens[raw_v]).any():
         raise InvalidInputError()
     # Ship compressed bytes to the device as uint8 (fast transfer path),
@@ -345,13 +413,18 @@ def decode(archive: bytes, _timings: Optional[dict] = None) -> bytes:
 
     def _stage(rows, row_bytes):
         """(rows, row_bytes) u8 staging matrix of the coded streams, in
-        ``order``, plus per-lane symbol counts — vectorized scatter (the
-        row-major mask enumerates exactly the concatenated payload)."""
+        ``order``, plus per-lane symbol counts — fully vectorized: an
+        offset-table gather pulls the payload bytes straight out of the
+        archive buffer (no per-block Python slicing or joining), and a
+        row-major mask scatter lays them into the lane rows."""
         byts = np.zeros((rows, row_bytes), dtype=np.uint8)
-        lens_o = coded_lens[order]
-        cat = np.frombuffer(
-            b"".join(streams[i] for i in order if not raw_v[i]), dtype=np.uint8
+        lens_o = coded_lens[order].astype(np.int64)
+        starts_o = stream_offs[order]
+        shift = np.cumsum(lens_o) - lens_o
+        idx = np.repeat(starts_o - shift, lens_o) + np.arange(
+            int(lens_o.sum()), dtype=np.int64
         )
+        cat = arch_u8[idx]
         mask = np.arange(row_bytes, dtype=np.int32)[None, :] < lens_o[:, None]
         if rows > n_blocks:
             mask = np.pad(mask, ((0, rows - n_blocks), (0, 0)))
@@ -422,7 +495,8 @@ def decode(archive: bytes, _timings: Optional[dict] = None) -> bytes:
     if raw_v.any():
         for i in np.nonzero(raw_v)[0]:
             row = np.zeros(k, dtype=np.uint8)
-            row[: block_lens[i]] = np.frombuffer(streams[i], dtype=np.uint8)
+            o = int(stream_offs[i])
+            row[: block_lens[i]] = arch_u8[o : o + block_lens[i]]
             flat[i] = row
     out = flat.reshape(-1)[: header.orig_len].tobytes()
     container.verify_crc(header, out)

@@ -216,8 +216,18 @@ def run_device_benchmark(data: bytes, block_size: int = 0, iters: int = 10,
     t_dec_e2e = time.perf_counter() - t0
     verified = verified and rt == data
 
+    # Host<->device tunnel bandwidth (one timed upload of the input):
+    # the e2e numbers are bounded by this, not by the codec — reported so
+    # the bench output states the bound it is measuring against.
+    t0 = time.perf_counter()
+    up = jax.device_put(jnp.asarray(np.frombuffer(data, np.uint8)))
+    jax.block_until_ready(up)
+    tunnel_gbps = len(data) / (time.perf_counter() - t0) / 1e9
+    del up
+
     n = len(data)
     return {
+        "tunnel_gbps": tunnel_gbps,
         "encode_gbps": n / t_enc / 1e9,
         "decode_gbps": n / t_dec / 1e9,
         "aggregate_gbps": 2 * n / (t_enc + t_dec) / 1e9,

@@ -96,6 +96,11 @@ class ArchiveHeader:
     # stored length).  This also caps the TPU kernels' per-lane output
     # buffers at ~block_size bytes.
     block_raw: tuple = ()
+    # Absolute archive offset of each block's payload bytes ((n_blocks,)
+    # int64) — lets decoders gather payload slices straight from the
+    # archive buffer with numpy offset tables instead of per-block
+    # Python slicing.
+    stream_offs: Optional[np.ndarray] = None
 
     @property
     def n_blocks(self) -> int:
@@ -122,29 +127,51 @@ def build_archive(
     delta: int = 1,
     crc: int = 0,
     block_raw: Optional[List[bool]] = None,
+    payload: Optional[bytes] = None,
+    stream_lens: Optional[List[int]] = None,
 ) -> bytes:
+    """Serialize an RXT v2 archive.
+
+    Per-block bytes come either as ``block_streams`` (list form) or as a
+    single pre-joined ``payload`` with ``stream_lens`` — the vectorized
+    encode path assembles the payload with numpy offset tables and must
+    not be forced through a per-block Python list.
+    """
     p = header_params
     if not 1 <= delta <= 255:
         raise InvalidInputError()
+    if payload is not None:
+        if stream_lens is None or sum(stream_lens) != len(payload):
+            raise InvalidInputError()
+        n_streams = len(stream_lens)
+    else:
+        stream_lens = [len(s) for s in block_streams]
+        n_streams = len(block_streams)
     flags = FLAG_PRIOR if prior_extra is not None else 0
     head = bytearray()
     head += MAGIC
     head += struct.pack(
         "<BBBBBB2x", VERSION, flags, p.symbol_bits, p.freq_bits, p.code_bits, delta
     )
-    head += struct.pack("<IQII", block_size, orig_len, len(block_streams), crc)
-    raw = block_raw or [False] * len(block_streams)
-    lens = [len(s) | (RAW_BIT if r else 0) for s, r in zip(block_streams, raw)]
-    head += struct.pack(f"<{len(block_streams)}I", *lens)
+    head += struct.pack("<IQII", block_size, orig_len, n_streams, crc)
+    raw = block_raw or [False] * n_streams
+    lens = [n | (RAW_BIT if r else 0) for n, r in zip(stream_lens, raw)]
+    head += struct.pack(f"<{n_streams}I", *lens)
     if prior_extra is not None:
         if prior_extra.shape != (256,) or prior_extra.max(initial=0) > 0xFFFF:
             raise InvalidInputError()
         head += prior_extra.astype("<u2").tobytes()
-    return bytes(head) + b"".join(block_streams)
+    return bytes(head) + (payload if payload is not None else b"".join(block_streams))
 
 
-def parse_archive(archive: bytes) -> tuple[ArchiveHeader, List[bytes]]:
-    """Parse an RXT archive into its header and per-block payload streams."""
+def parse_archive(
+    archive: bytes, with_streams: bool = True
+) -> tuple[ArchiveHeader, Optional[List[bytes]]]:
+    """Parse an RXT archive into its header and per-block payload streams.
+
+    ``with_streams=False`` skips materializing the per-block bytes list
+    (the vectorized decode path gathers payload slices directly from the
+    archive buffer via ``header.stream_offs``)."""
     if len(archive) < HEADER_BYTES or archive[:4] != MAGIC:
         raise InvalidInputError()
     version, flags, sb, fb, cb, delta = struct.unpack_from("<BBBBBB", archive, 4)
@@ -176,14 +203,20 @@ def parse_archive(archive: bytes) -> tuple[ArchiveHeader, List[bytes]]:
             .copy()
         )
         off += 512
-    streams = []
-    for n in byte_lens:
-        if len(archive) < off + n:
-            raise InvalidInputError()
-        streams.append(archive[off : off + n])
-        off += n
+    lens_np = np.asarray(byte_lens, dtype=np.int64)
+    offs = off + np.cumsum(lens_np) - lens_np  # exclusive prefix (empty-safe)
+    total = int(lens_np.sum())
+    if len(archive) < off + total:
+        raise InvalidInputError()
+    off += total
+    streams = (
+        [archive[o : o + n] for o, n in zip(offs, byte_lens)]
+        if with_streams
+        else None
+    )
     header = ArchiveHeader(
-        params, block_size, orig_len, byte_lens, prior, delta, crc, block_raw
+        params, block_size, orig_len, byte_lens, prior, delta, crc, block_raw,
+        offs,
     )
     if block_size == 0 and orig_len > 0:
         raise InvalidInputError()

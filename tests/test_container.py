@@ -207,3 +207,23 @@ def test_encode_auto_structural_size_contract():
         ref = native.compress_bytes(data, Parameters.default())
         assert len(auto) <= len(ref), (n, len(auto), len(ref))
         assert api.decode_auto(auto) == data
+
+
+def test_chunked_encode_matches_single_dispatch(monkeypatch):
+    """Lane-chunked encode (large-input path: bounded rank planes per
+    kernel dispatch) must produce archives that decode identically —
+    forced here with a tiny chunk budget so 3 chunks cover the input,
+    including a stored-raw block in the middle chunk."""
+    rng = np.random.default_rng(3)
+    base = corpus_file("calgary", "paper5").read_bytes()
+    data = (
+        base[:40000]
+        + rng.integers(0, 256, 3000, dtype=np.uint8).tobytes()  # raw blocks
+        + base[40000:80000]
+    )
+    single = api.encode(data, block_size=256)
+    monkeypatch.setattr(api, "_enc_chunk_bytes", lambda: 128 * 256)
+    chunked = api.encode(data, block_size=256)
+    # The wire bytes are identical (chunking is invisible), and decode.
+    assert chunked == single
+    assert api.decode(chunked) == data

@@ -92,3 +92,55 @@ def test_compiled_kernels_bit_exact_on_hardware():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "bit-exact" in out.stdout
+
+
+_LARGE_DRIVER = r"""
+import numpy as np, time, jax
+assert jax.default_backend() not in ("cpu",), jax.default_backend()
+from redux_tpu import api, container
+
+rng = np.random.default_rng(1)
+base = bytearray()
+import os
+d = "/root/reference/resources/calgary"
+for name in sorted(os.listdir(d)):
+    base += open(os.path.join(d, name), "rb").read()
+rep = (256 * (1 << 20)) // len(base) + 1
+data = bytes(base * rep)[: 256 * (1 << 20)]
+t0 = time.time()
+arc = api.encode(data)
+t_enc = time.time() - t0
+t0 = time.time()
+out = api.decode(arc)
+t_dec = time.time() - t0
+assert out == data
+print(f"large-input OK: {len(data)} -> {len(arc)} bytes, "
+      f"enc {len(data)/t_enc/1e9:.3f} GB/s e2e, dec {len(data)/t_dec/1e9:.3f} GB/s e2e")
+"""
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not _hardware_available(),
+    reason="no accelerator backend configured (REDUX_TPU_HW_TESTS=1 forces)",
+)
+def test_large_input_chunked_encode_roundtrip():
+    """>= 256 MB through api.encode/decode on hardware: exercises the
+    lane-chunked encode (REDUX_TPU_ENC_CHUNK_MB=64 forces 4+ chunks so
+    the rank planes stay bounded) end-to-end with bit-exact round-trip.
+    BASELINE.json configs[3] (enwik-scale) stand-in — the mount's large
+    blob (E.coli) is stripped."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("REDUX_TPU_LANES", None)
+    env.pop("REDUX_TPU_DLANES", None)
+    env["REDUX_TPU_ENC_CHUNK_MB"] = "64"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-c", _LARGE_DRIVER], env=env, capture_output=True,
+        text=True, timeout=3000,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "large-input OK" in out.stdout, out.stdout
+    print(out.stdout.strip())
