@@ -217,7 +217,11 @@ def encode(
             else DEFAULT_BLOCK_SIZE
         )
     if params.symbol_bits != 8:
-        raise InvalidInputError()  # byte-oriented container
+        raise InvalidInputError(
+            "the RXT container is byte-only (symbol_bits = 8); generic "
+            "symbol widths run on the host path (oracle/native) — see "
+            "README 'Deliberate non-generalities'"
+        )
     if use_prior is None:
         use_prior = len(data) >= 4096
     prior_extra = None

@@ -44,38 +44,57 @@ def _sync(*arrays) -> None:
     jax.block_until_ready(arrays)
 
 
-# Any queued-iteration measurement implying more than this is a timing
-# artifact, not a kernel: the fastest single stage ever measured on this
-# chip is the ~8 GB/s streaming encode kernel.  (Observed once: a decode
-# loop "completed" in 0.06 ms/iter = 159 GB/s — the tunnel resolved the
-# queued futures without the executions having run.)
+# Any measurement implying more than this is a timing artifact, not a
+# kernel: the fastest single stage the device profiler has ever reported
+# on this chip is the ~3 ms streaming coder kernel (~3 GB/s).
 _SANITY_GBPS = 25.0
 
 
-def _timed_median(step, iters: int, n_bytes: int, repeats: int, vlog, name: str):
-    """Median of ``repeats`` queued-iteration timings, artifact-guarded.
+def _timed_slope(step, fetch, n_bytes: int, repeats: int, vlog, name: str,
+                 n_lo: int = 3, n_hi: int = 10):
+    """Per-iteration time via the SLOPE of queued-run wall times.
 
-    Each timing queues ``iters`` dispatches and syncs once (per-iteration
-    sync would measure the tunnel RTT, not the kernel).  Implausibly fast
-    repetitions are discarded and re-run (bounded); the spread is logged
-    so a noisy measurement is visible in the bench output.
+    Round-4 post-mortem: on the axon-tunneled runtime,
+    ``jax.block_until_ready`` can return without the queued executions
+    having run (a queued loop of 8 encodes "synced" in 1 ms; fetching
+    the results afterwards took 12.5 s), and repeated dispatches with
+    identical content can be served without re-execution.  The only
+    timing that survived cross-checking against the device profiler's
+    own op durations is:
+
+    * ``step(i)`` must derive FRESH input content per iteration from a
+      device-resident base (a device-side mutation — never a host
+      upload, which would time the tunnel);
+    * each timed run ends with a SMALL host fetch of the last output,
+      which provably drains the queue;
+    * the per-iteration time is the slope ``(t(n_hi) - t(n_lo)) /
+      (n_hi - n_lo)``, so constant overheads (fetch RTT, dispatch
+      bookkeeping) cancel.
+
+    Median of ``repeats`` slopes; implausible values are discarded and
+    re-run (bounded).
     """
     times = []
+    salt = 1
     for _ in range(3 * repeats):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = step()
-        jax.block_until_ready(out)
-        t = (time.perf_counter() - t0) / iters
-        if n_bytes / t / 1e9 > _SANITY_GBPS:
-            vlog(f"{name}: discarded implausible {n_bytes / t / 1e9:.0f} GB/s run")
+        runs = []
+        for n in (n_lo, n_hi):
+            t0 = time.perf_counter()
+            out = None
+            for i in range(n):
+                out = step(salt)
+                salt += 1
+            fetch(out)  # small host fetch: provably drains the queue
+            runs.append(time.perf_counter() - t0)
+        t = (runs[1] - runs[0]) / (n_hi - n_lo)
+        if t <= 0 or n_bytes / t / 1e9 > _SANITY_GBPS:
+            vlog(f"{name}: discarded implausible slope {t * 1e3:.2f} ms")
             continue
         times.append(t)
         if len(times) == repeats:
             break
     times.sort()
-    vlog(f"{name}: {', '.join(f'{x * 1e3:.1f}' for x in times)} ms/iter")
+    vlog(f"{name}: slopes {', '.join(f'{x * 1e3:.1f}' for x in times)} ms/iter")
     return times[len(times) // 2], times
 
 
@@ -118,25 +137,36 @@ def run_device_benchmark(data: bytes, block_size: int = 0, iters: int = 10,
 
     if use_pallas:
         from .ops.pallas_decode import decode_blocks_pallas_t, init_cum_column, pad_geometry
+    # Device-side per-iteration content mutation (see _timed_slope):
+    # salt 0 is the identity, so warmup/verification use the true data.
+    mut_syms = jax.jit(
+        lambda x, i: ((x.astype(jnp.int32) + i) & 255).astype(jnp.uint8)
+    )
+    if use_pallas:
         from .ops.pallas_encode import encode_blocks_ranked
 
-        def encode_step():
-            return encode_blocks_ranked(syms, lens, icj, params, n_words, DELTA)
+        def encode_step(salt=0):
+            return encode_blocks_ranked(
+                mut_syms(syms, salt), lens, icj, params, n_words, DELTA
+            )
     else:
         from .ops.coder import encode_blocks_v2
 
-        def encode_step():
+        def encode_step(salt=0):
             lo, hi, tot, _, _, _ = precompute_encode_model(
-                syms, lens, icj, params.freq_max, delta=DELTA
+                mut_syms(syms, salt), lens, icj, params.freq_max, delta=DELTA
             )
             return encode_blocks_v2(lo, hi, tot, lens, params, n_words)
 
+    def fetch_small(out):
+        return np.asarray(out[1]).ravel()[:1]
+
     vlog("encode warmup start")
     words, byte_lens, ovf = encode_step()
-    _sync(words, byte_lens, ovf)
+    fetch_small((None, byte_lens))
     vlog("encode warmup done")
-    t_enc, enc_times = _timed_median(
-        encode_step, iters, len(data), 3, vlog, "encode"
+    t_enc, enc_times = _timed_slope(
+        encode_step, fetch_small, len(data), 3, vlog, "encode"
     )
     vlog(f"encode timed: {t_enc*1e3:.1f} ms/iter")
 
@@ -161,28 +191,51 @@ def run_device_benchmark(data: bytes, block_size: int = 0, iters: int = 10,
             nwi = (bl_np[i] + 3) // 4
             words_t[:nwi, lane] = w_np[i, :nwi]
             lens_row[0, lane] = lens_np[i]
+        # One extra zero GROUP of rows so the per-iteration mutation row
+        # sits far past every lane's read-ahead: decode output is
+        # bit-identical for every salt while the content is fresh.
+        wn_mut = wn_pad + 128
+        words_t = np.pad(words_t, ((0, 128), (0, 0)))
         wt = jax.device_put(jnp.asarray(words_t))
         lr = jax.device_put(jnp.asarray(lens_row))
         icol = jax.device_put(jnp.asarray(init_cum_column(ic, params)))
         _sync(wt, lr, icol)
+        mut_words = jax.jit(
+            lambda x, i: x.at[wn_mut - 1, :].set(jnp.uint32(i))
+        )
 
-        def decode_step():
-            return decode_blocks_pallas_t(wt, lr, icol, params, k, DELTA)
+        def decode_step(salt=0):
+            return decode_blocks_pallas_t(
+                mut_words(wt, salt), lr, icol, params, k, DELTA
+            )
     else:
         from .ops.coder import decode_blocks
 
         order = np.arange(n_blocks)
+        mut_wpad = jax.jit(
+            lambda x, i: jnp.concatenate(
+                [x, jnp.full((x.shape[0], 1), jnp.uint32(i))], axis=1
+            )
+        )
 
-        def decode_step():
-            return decode_blocks(words, lens, icj, params, k, delta=DELTA)
+        def decode_step(salt=0):
+            # Extra all-salt word column past every stream: fresh content,
+            # identical decode (the scan stops at lens).
+            return decode_blocks(
+                mut_wpad(words, salt), lens, icj, params, k, delta=DELTA
+            )
+
+    def fetch_dec(out):
+        return np.asarray(out[0:1, 0:1])
 
     vlog("decode warmup start")
     decoded = decode_step()
-    _sync(decoded)
+    fetch_dec(decoded)
     vlog("decode warmup done")
-    t_dec, dec_times = _timed_median(
-        decode_step, iters, len(data), 3, vlog, "decode"
+    t_dec, dec_times = _timed_slope(
+        decode_step, fetch_dec, len(data), 3, vlog, "decode"
     )
+    decoded = decode_step()  # salt 0: true-content output for verification
 
     # Verification (host, untimed; raw blocks spliced from the source).
     dec_np = np.asarray(decoded)

@@ -30,10 +30,21 @@ class EofError(ReduxError):
 
 
 class InvalidInputError(ReduxError):
-    """Invalid data/configuration on the input (reference ``Error::InvalidInput``, lib.rs:61)."""
+    """Invalid data/configuration on the input (reference ``Error::InvalidInput``, lib.rs:61).
 
-    def __str__(self) -> str:  # lib.rs:70
-        return "Invalid data found while processing input"
+    ``detail`` (optional) appends context after the reference-parity base
+    message — e.g. the byte-only container restriction pointing at the
+    README's "Deliberate non-generalities" section.  Equality stays
+    class-only (lib.rs:86-95) regardless of detail.
+    """
+
+    def __init__(self, detail: str | None = None):
+        super().__init__(detail)
+        self.detail = detail
+
+    def __str__(self) -> str:  # lib.rs:70 (+ optional context)
+        base = "Invalid data found while processing input"
+        return f"{base}: {self.detail}" if self.detail else base
 
 
 class ReduxIOError(ReduxError):

@@ -215,27 +215,38 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
                 delta_v = jnp.where(upd, i32(delta), i32(0))
                 CH = int(_os.environ.get("REDUX_TPU_DECODE_CH", "4"))
                 assert S_PAD % CH == 0, "chunk rows must divide S_PAD"
-                acc_sym = jnp.zeros((G, LN), i32)
-                acc_flo = jnp.zeros((G, LN), i32)
-                acc_fhi = jnp.full((G, LN), 0x7FFFFFFF, i32)
+                # W independent accumulator sets (round-robin over chunks)
+                # break the n_chunks-long accumulate chains into W shorter
+                # independent ones; combined at the end.
+                W = int(_os.environ.get("REDUX_TPU_DECODE_ACCW", "1"))
+                acc_sym = [jnp.zeros((G, LN), i32) for _ in range(W)]
+                acc_flo = [jnp.zeros((G, LN), i32) for _ in range(W)]
+                acc_fhi = [jnp.full((G, LN), 0x7FFFFFFF, i32) for _ in range(W)]
                 for c in range(S_PAD // CH):
+                    w = c % W
                     ch = cdf_s[c * CH : (c + 1) * CH, :, :]
                     bch = ch <= value[None]
-                    acc_sym = acc_sym + jnp.sum(bch.astype(i32), axis=0, dtype=i32)
-                    acc_flo = jnp.maximum(
-                        acc_flo, jnp.max(jnp.where(bch, ch, i32(0)), axis=0)
+                    acc_sym[w] = acc_sym[w] + jnp.sum(
+                        bch.astype(i32), axis=0, dtype=i32
                     )
-                    acc_fhi = jnp.minimum(
-                        acc_fhi,
+                    acc_flo[w] = jnp.maximum(
+                        acc_flo[w], jnp.max(jnp.where(bch, ch, i32(0)), axis=0)
+                    )
+                    acc_fhi[w] = jnp.minimum(
+                        acc_fhi[w],
                         jnp.min(jnp.where(bch, i32(0x7FFFFFFF), ch), axis=0),
                     )
                     if probe != "noupdate":
                         cdf_s[c * CH : (c + 1) * CH, :, :] = ch + jnp.where(
                             bch, i32(0), delta_v[None]
                         )
-                sym = acc_sym - i32(1)
-                flo = acc_flo.astype(u32)
-                fhi = acc_fhi.astype(u32)
+                for w in range(1, W):
+                    acc_sym[0] = acc_sym[0] + acc_sym[w]
+                    acc_flo[0] = jnp.maximum(acc_flo[0], acc_flo[w])
+                    acc_fhi[0] = jnp.minimum(acc_fhi[0], acc_fhi[w])
+                sym = acc_sym[0] - i32(1)
+                flo = acc_flo[0].astype(u32)
+                fhi = acc_fhi[0].astype(u32)
             else:
                 b = cdf <= value[None]
                 sym = jnp.sum(b.astype(i32), axis=0, dtype=i32) - i32(1)

@@ -763,15 +763,25 @@ def encode_blocks_ranked(syms, lens, init_cum, params: Parameters, n_words: int,
 
     Same signature/returns as :func:`encode_blocks_pallas_m`.
     """
-    from .ranks import precompute_encode_model
-
     # x64 off for the whole trace: the Pallas kernel has no 64-bit types,
     # and every rank quantity fits int32 (counts < 2**20).
     with jax.enable_x64(False):
-        lo, hi, _tot, _el, _eh, _et = precompute_encode_model(
-            syms, lens, init_cum, params.freq_max, delta=delta, with_tot=False
+        return _encode_ranked_fused_jit(
+            syms, lens, init_cum, params, n_words, int(delta)
         )
-        init_total = jnp.asarray(init_cum, jnp.int32)[-1]
-        return encode_blocks_pallas(
-            lo, hi, lens, init_total, params, n_words, delta
-        )
+
+
+@functools.partial(jax.jit, static_argnames=("params", "n_words", "delta"))
+def _encode_ranked_fused_jit(syms, lens, init_cum, params, n_words, delta):
+    """The whole ranked pipeline under ONE jit: rank precompute, the
+    pad/transpose staging, and the coder kernel call.  Running the
+    staging eagerly cost ~8 separate dispatches per call over the axon
+    tunnel (each with queueing overhead) and let XLA materialize
+    unfused intermediates between program segments."""
+    from .ranks import precompute_encode_model
+
+    lo, hi, _tot, _el, _eh, _et = precompute_encode_model(
+        syms, lens, init_cum, params.freq_max, delta=delta, with_tot=False
+    )
+    init_total = jnp.asarray(init_cum, jnp.int32)[-1]
+    return encode_blocks_pallas(lo, hi, lens, init_total, params, n_words, delta)

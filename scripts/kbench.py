@@ -42,6 +42,32 @@ def sync(*arrays):
         jax.block_until_ready(a)
 
 
+def timed_slope(step, fetch, n_lo=3, n_hi=10, repeats=3):
+    """Honest per-iteration time on the axon runtime (see
+    redux_tpu.bench._timed_slope): fresh device-side content per
+    iteration, a small end fetch to drain the queue, and the slope of
+    two run lengths so constant overheads cancel.  block_until_ready
+    alone can return BEFORE queued executions run here, and identical
+    content can be served without re-execution."""
+    import time as _t
+
+    slopes = []
+    salt = 1
+    for _ in range(repeats):
+        runs = []
+        for n in (n_lo, n_hi):
+            t0 = _t.perf_counter()
+            out = None
+            for _ in range(n):
+                out = step(salt)
+                salt += 1
+            fetch(out)
+            runs.append(_t.perf_counter() - t0)
+        slopes.append((runs[1] - runs[0]) / (n_hi - n_lo))
+    slopes.sort()
+    return slopes[len(slopes) // 2]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bs", type=int, default=0, help="0 = api auto block size")
@@ -79,6 +105,9 @@ def main():
     lens = jax.device_put(jnp.asarray(lens_np))
     icj = jax.device_put(jnp.asarray(ic))
     sync(syms, lens, icj)
+    mut_syms = jax.jit(
+        lambda x, i: ((x.astype(jnp.int32) + i) & 255).astype(jnp.uint8)
+    )
     print(f"n_blocks={n_blocks} lanes={syms_np.shape[0]} n_words={n_words}",
           file=sys.stderr)
 
@@ -146,21 +175,19 @@ def main():
     from redux_tpu.ops.pallas_encode import encode_blocks_ranked
 
     if args.mkernel:
-        def encode_step():
-            return encode_blocks_pallas_m(syms, lens, icj, params, n_words, args.delta)
+        def encode_step(i=0):
+            return encode_blocks_pallas_m(
+                mut_syms(syms, i), lens, icj, params, n_words, args.delta)
     else:
-        def encode_step():
-            return encode_blocks_ranked(syms, lens, icj, params, n_words, args.delta)
+        def encode_step(i=0):
+            return encode_blocks_ranked(
+                mut_syms(syms, i), lens, icj, params, n_words, args.delta)
 
     t0 = time.perf_counter()
     words, byte_lens, ovf = encode_step()
-    sync(words, byte_lens, ovf)
+    _ = np.asarray(byte_lens).ravel()[:1]
     print(f"encode compile+run {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        words, byte_lens, ovf = encode_step()
-    sync(words, byte_lens, ovf)
-    t_enc = (time.perf_counter() - t0) / args.iters
+    t_enc = timed_slope(encode_step, lambda o: np.asarray(o[1]).ravel()[:1])
     enc_gbps = len(data) / t_enc / 1e9
     comp = int(np.asarray(byte_lens)[:n_blocks].sum()) + 32 + 4 * n_blocks + 512
     print(f"encode: {t_enc*1e3:.1f} ms  {enc_gbps:.3f} GB/s  ratio {len(data)/comp:.4f}")
@@ -190,23 +217,25 @@ def main():
         nwi = (bl_np[i] + 3) // 4
         words_t[:nwi, lane] = w_np[i, :nwi]
         lens_row[0, lane] = lens_np[i]
+    wn_mut = wn_pad + 128  # mutation row far past every lane's read-ahead
+    words_t = np.pad(words_t, ((0, 128), (0, 0)))
     wt = jax.device_put(jnp.asarray(words_t))
     lr = jax.device_put(jnp.asarray(lens_row))
     icol = jax.device_put(jnp.asarray(init_cum_column(ic, params)))
     sync(wt, lr, icol)
+    mut_words = jax.jit(lambda x, i: x.at[wn_mut - 1, :].set(jnp.uint32(i)))
 
-    def decode_step():
-        return decode_blocks_pallas_t(wt, lr, icol, params, k, args.delta)
+    def decode_step(i=0):
+        return decode_blocks_pallas_t(mut_words(wt, i), lr, icol, params, k,
+                                      args.delta)
 
     t0 = time.perf_counter()
     out = decode_step()
-    sync(out)
+    _ = np.asarray(out[0:1, 0:1])
     print(f"decode compile+run {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = decode_step()
+    t_dec = timed_slope(decode_step, lambda o: np.asarray(o[0:1, 0:1]))
+    out = decode_step()  # salt 0: true content for the roundtrip check
     sync(out)
-    t_dec = (time.perf_counter() - t0) / args.iters
     dec_gbps = len(data) / t_dec / 1e9
     print(f"decode: {t_dec*1e3:.1f} ms  {dec_gbps:.3f} GB/s")
     print(f"aggregate: {2*len(data)/(t_enc+t_dec)/1e9:.3f} GB/s")

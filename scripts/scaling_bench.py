@@ -4,6 +4,14 @@ Weak scaling: fixed blocks-per-device, mesh sizes 1..8 (virtual CPU
 devices; real pods swap the mesh for TPU chips/hosts with the identical
 shard_map program).  Efficiency(N) = throughput(N) / (N * throughput(1)).
 
+Round-4 artifact upgrades (the round-3 artifact was thin evidence):
+
+* >= 3 MB/device (16x round 3) so the measurement amortizes dispatch
+  and scheduler noise into real codec work;
+* per-phase times (rank precompute / encode / decode / output gather);
+* the sharded PALLAS kernel path measured alongside the XLA scan path
+  (interpret mode on CPU — same shard_map, same kernels the TPU runs).
+
 Round-3 methodology fixes (the round-2 artifact showed 0.58 at N=2):
 
 * The rank precompute now runs INSIDE the shard (the production
@@ -37,6 +45,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import functools
 
+# Small kernel tiles for the interpret-mode Pallas section (must be set
+# before the kernel modules import; harmless for the XLA section).
+os.environ.setdefault("REDUX_TPU_LANES", "128")
+os.environ.setdefault("REDUX_TPU_DLANES", "128")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,6 +60,23 @@ from redux_tpu.ops.coder import encode_blocks_v2, max_block_words
 from redux_tpu.ops.ranks import precompute_encode_model
 from redux_tpu.parallel import data_parallel_mesh, decode_blocks_sharded
 from redux_tpu.params import Parameters
+
+ITERS = int(os.environ.get("SCALING_ITERS", "2"))
+
+
+@functools.partial(jax.jit, static_argnames=("params", "delta", "mesh"))
+def _ranks_sharded(syms, lens, ic, params, delta, mesh):
+    def fn(s, l, icum):
+        lo, hi, _, _, _, _ = precompute_encode_model(
+            s, l, icum, params.freq_max, delta=delta, with_tot=False
+        )
+        return lo, hi
+
+    spec = P("dp")
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=(spec, spec, P()), out_specs=(spec, spec),
+        check_vma=False,
+    )(syms, lens, ic)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "n_words", "delta", "mesh"))
@@ -67,7 +97,8 @@ def _enc_sharded(syms, lens, ic, params, n_words, delta, mesh):
     )(syms, lens, ic)
 
 
-def run(n_dev, blocks_per_dev=24, k=8192, delta=16):
+def run(n_dev, blocks_per_dev=384, k=8192, delta=16):
+    """XLA scan path at >= 3 MB/device, with per-phase timings."""
     params = Parameters.tpu_wide()
     mesh = data_parallel_mesh(n=n_dev)
     b = blocks_per_dev * n_dev
@@ -84,24 +115,75 @@ def run(n_dev, blocks_per_dev=24, k=8192, delta=16):
         min(257 + delta * k, params.freq_max), params.symbol_count, params, k
     )
 
-    def enc():
-        return _enc_sharded(sj, lj, icj, params, n_words, delta, mesh)
+    def timed(fn):
+        out = jax.block_until_ready(fn())
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = jax.block_until_ready(fn())
+        return (time.perf_counter() - t0) / ITERS, out
 
-    words, blens, _ = jax.block_until_ready(enc())
+    # Per-phase: rank precompute alone, the fused rank+coder encode, the
+    # decode, and the host gather of the compressed words.
+    t_rank, _ = timed(lambda: _ranks_sharded(sj, lj, icj, params, delta, mesh))
+    t_enc, (words, blens, _) = timed(
+        lambda: _enc_sharded(sj, lj, icj, params, n_words, delta, mesh)
+    )
+    t_dec, dec = timed(
+        lambda: decode_blocks_sharded(words, lj, icj, params, k, mesh, delta=delta)
+    )
     t0 = time.perf_counter()
-    for _ in range(3):
-        words, blens, _ = jax.block_until_ready(enc())
-    t_enc = (time.perf_counter() - t0) / 3
+    w_np = np.asarray(words)
+    t_gather = time.perf_counter() - t0
 
-    dec = decode_blocks_sharded(words, lj, icj, params, k, mesh, delta=delta)
-    jax.block_until_ready(dec)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        jax.block_until_ready(
-            decode_blocks_sharded(words, lj, icj, params, k, mesh, delta=delta)
+    ok = np.array_equal(
+        np.asarray(dec)[:, :k].astype(np.uint8), syms.astype(np.uint8)
+    )
+    return {"n_dev": n_dev, "bytes": len(data), "t_rank": t_rank,
+            "t_enc": t_enc, "t_dec": t_dec, "t_gather": t_gather,
+            "gbps": 2 * len(data) / (t_enc + t_dec) / 1e9, "verified": bool(ok)}
+
+
+def run_pallas(n_dev, blocks_per_dev=1536, k=2048, delta=16):
+    """The sharded PALLAS kernels (interpret mode on CPU): the same
+    shard_map + kernel programs the TPU executes, so the artifact
+    measures the production path's scaling, not just the XLA scans."""
+    from redux_tpu.parallel.mesh import (
+        decode_blocks_pallas_sharded,
+        encode_blocks_ranked_sharded,
+        pallas_lane_quantum,
+    )
+
+    params = Parameters.tpu_wide()
+    mesh = data_parallel_mesh(n=n_dev)
+    q = pallas_lane_quantum(mesh)
+    b = (blocks_per_dev * n_dev // q) * q or q
+    data = open("/root/reference/resources/calgary/book1", "rb").read()
+    data = (data * (b * k // len(data) + 1))[: b * k]
+    syms = np.frombuffer(data, np.uint8).reshape(b, k).astype(np.int32)
+    lens = np.full(b, k, np.int32)
+    ic = uniform_init_cum(params).astype(np.int32)
+    shard = NamedSharding(mesh, P("dp"))
+    sj = jax.device_put(jnp.asarray(syms), shard)
+    lj = jax.device_put(jnp.asarray(lens), shard)
+    icj = jnp.asarray(ic)
+    n_words = k // 4 + 16
+
+    def timed(fn):
+        out = jax.block_until_ready(fn())
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn())
+        return time.perf_counter() - t0, out
+
+    t_enc, (words, blens, _) = timed(
+        lambda: encode_blocks_ranked_sharded(
+            sj, lj, icj, params, n_words, mesh, delta
         )
-    t_dec = (time.perf_counter() - t0) / 3
-
+    )
+    t_dec, dec = timed(
+        lambda: decode_blocks_pallas_sharded(
+            jnp.asarray(np.asarray(words)), lj, icj, params, k, mesh, delta=delta
+        )
+    )
     ok = np.array_equal(
         np.asarray(dec)[:, :k].astype(np.uint8), syms.astype(np.uint8)
     )
@@ -110,15 +192,22 @@ def run(n_dev, blocks_per_dev=24, k=8192, delta=16):
 
 
 def main():
-    results = [run(n) for n in (1, 2, 4, 8) if n <= len(jax.devices())]
-    base = results[0]
-    per_dev0 = base["gbps"] / base["n_dev"]
     ncores = os.cpu_count() or 1
-    for r in results:
-        r["efficiency"] = r["gbps"] / (r["n_dev"] * per_dev0)
-        # virtual devices beyond the physical cores time-share them; the
-        # honest denominator is the deliverable parallel hardware
-        r["efficiency_vs_cores"] = r["gbps"] / (min(r["n_dev"], ncores) * per_dev0)
+
+    def sweep(fn, sizes):
+        results = [fn(n) for n in sizes if n <= len(jax.devices())]
+        per_dev0 = results[0]["gbps"] / results[0]["n_dev"]
+        for r in results:
+            r["efficiency"] = r["gbps"] / (r["n_dev"] * per_dev0)
+            # virtual devices beyond the physical cores time-share them;
+            # the honest denominator is the deliverable parallel hardware
+            r["efficiency_vs_cores"] = r["gbps"] / (
+                min(r["n_dev"], ncores) * per_dev0
+            )
+        return results
+
+    results = sweep(run, (1, 2, 4, 8))
+    pallas_results = sweep(run_pallas, (1, 2))
     out = {
         "mode": "weak-scaling, virtual CPU mesh (shard_map dp axis)",
         "note": "host has %d physical cores; intra-op threading pinned to 1 "
@@ -127,15 +216,20 @@ def main():
                 "meaningful column there.  Real pods swap the mesh for TPU "
                 "chips/hosts; identical shard_map program." % ncores,
         "physical_cores": ncores,
+        "bytes_per_device": results[0]["bytes"] // results[0]["n_dev"],
         "results": results,
+        "pallas_interpret_results": pallas_results,
         "min_efficiency_n_ge_2": min(r["efficiency"] for r in results[1:]),
         "min_efficiency_vs_cores_n_ge_2": min(
             r["efficiency_vs_cores"] for r in results[1:]
         ),
+        "pallas_efficiency_n2": pallas_results[-1]["efficiency"]
+        if len(pallas_results) > 1
+        else None,
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SCALING_r3.json",
+        "SCALING_r4.json",
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
