@@ -272,9 +272,11 @@ def run_device_benchmark(data: bytes, block_size: int = 0, iters: int = 10,
     # Host<->device tunnel bandwidth (one timed upload of the input):
     # the e2e numbers are bounded by this, not by the codec — reported so
     # the bench output states the bound it is measuring against.
+    # device_put is LAZY on this runtime (content ships at first use), so
+    # the timing must end with a consuming dispatch + a tiny fetch.
     t0 = time.perf_counter()
     up = jax.device_put(jnp.asarray(np.frombuffer(data, np.uint8)))
-    jax.block_until_ready(up)
+    np.asarray(jax.jit(lambda x: x[::65536].astype(jnp.int32).sum())(up))
     tunnel_gbps = len(data) / (time.perf_counter() - t0) / 1e9
     del up
 

@@ -773,15 +773,70 @@ def encode_blocks_ranked(syms, lens, init_cum, params: Parameters, n_words: int,
 
 @functools.partial(jax.jit, static_argnames=("params", "n_words", "delta"))
 def _encode_ranked_fused_jit(syms, lens, init_cum, params, n_words, delta):
-    """The whole ranked pipeline under ONE jit: rank precompute, the
-    pad/transpose staging, and the coder kernel call.  Running the
-    staging eagerly cost ~8 separate dispatches per call over the axon
-    tunnel (each with queueing overhead) and let XLA materialize
-    unfused intermediates between program segments."""
+    """The whole production encode under ONE jit.
+
+    On TPU: the Pallas MODEL-VALUES kernel (the decoder's dense-row
+    sweep run encode-side — ops/pallas_model.py; ~4x the XLA rank
+    precompute it replaced, round-4 post-mortem) feeds the streaming
+    coder kernel in the shared transposed plane layout — symbols are
+    padded/transposed once and the (k_pad, b) lo/hi planes flow straight
+    into the coder with no intermediate relayouts.
+
+    On CPU (tests, virtual meshes): the closed-form XLA rank precompute
+    — faster than interpret mode there, and the kernel-vs-ranks
+    differential tests pin the two derivations against each other.
+    """
     from .ranks import precompute_encode_model
 
-    lo, hi, _tot, _el, _eh, _et = precompute_encode_model(
-        syms, lens, init_cum, params.freq_max, delta=delta, with_tot=False
-    )
     init_total = jnp.asarray(init_cum, jnp.int32)[-1]
-    return encode_blocks_pallas(lo, hi, lens, init_total, params, n_words, delta)
+    if jax.default_backend() == "cpu":
+        lo, hi, _tot, _el, _eh, _et = precompute_encode_model(
+            syms, lens, init_cum, params.freq_max, delta=delta, with_tot=False
+        )
+        return encode_blocks_pallas(
+            lo, hi, lens, init_total, params, n_words, delta
+        )
+
+    from .pallas_decode import init_cum_column as _icol
+    from .pallas_model import LANES as MLANES
+    from .pallas_model import _model_lohi_jit
+
+    b, k = syms.shape
+    # One lane geometry serving both kernels (model tile x coder tile).
+    import math as _math
+
+    q = _math.lcm(MLANES, LANES)
+    b_pad = ((b + q - 1) // q) * q
+    # The coder codes the 2-bit terminator at t == lens, so its planes
+    # extend one position past k; the model kernel only needs k.
+    k_pad = ((k + 1 + EPOCH - 1) // EPOCH) * EPOCH
+    syms_t = jnp.pad(
+        syms.astype(jnp.int32), ((0, b_pad - b), (0, k_pad - k))
+    ).T  # (k_pad, b_pad): the single transpose of the pipeline
+    lens_p = jnp.pad(lens.astype(jnp.int32), (0, b_pad - b),
+                     constant_values=-1).reshape(1, b_pad)
+    icol = _build_init_col(init_cum, params)
+    tf = jnp.maximum(
+        (jnp.int32(params.freq_max) - init_total + (delta - 1))
+        // jnp.int32(delta),
+        0,
+    )
+    lens_model = jnp.maximum(lens_p, 0)  # pad lanes: -1 -> 0 (no work)
+    lo_t, hi_t = _model_lohi_jit(
+        syms_t, lens_model, icol, tf.reshape(1, 1), params, k, int(delta)
+    )
+    consts = jnp.stack([init_total, tf]).reshape(1, 2)
+    nw_pad = ((n_words + SLAB - 1) // SLAB) * SLAB
+    words_t, blen, ovf = _encode_pallas_jit(
+        lo_t, hi_t, consts, lens_p, params, nw_pad, int(delta)
+    )
+    return words_t.T[:b, :n_words], blen[0, :b], ovf[0, :b].astype(bool)
+
+
+def _build_init_col(init_cum, params):
+    """(S_PAD, 1, 1)-reshapable init column as a traced array."""
+    from .pallas_decode import S_PAD as _SP
+
+    ic = jnp.asarray(init_cum, jnp.int32)
+    pad = jnp.full((_SP - ic.shape[0],), jnp.int32(params.freq_max))
+    return jnp.concatenate([ic, pad]).reshape(_SP, 1)

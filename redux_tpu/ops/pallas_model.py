@@ -1,0 +1,198 @@
+"""Pallas TPU model-values kernel: the encode-side dense model sweep.
+
+Round-4 discovery (BASELINE.md post-mortem): the XLA rank precompute —
+the closed-form parallel derivation of every position's ``(lo, hi)``
+model values — costs ~28 ms on the bench corpus, 7x the streaming coder
+kernel it feeds, because its alphabet-wide masked-reduce formulation
+re-touches ``positions x 256`` elements several times per quantity.
+
+The DECODE kernel does the equivalent per-symbol work (a dense-row sweep
++ suffix update over the same ``(S_PAD, G, LN)`` VMEM-resident model) in
+~6 ms for the same corpus.  Encode knows its symbols up front, so this
+kernel is exactly that sweep minus everything decode must also do
+(interval math, renormalization, stream reads):
+
+* model state: one dense cumulative row per lane, ``(S_PAD, G, LN)``
+  int32, identical layout/init to the decoder
+  (:mod:`redux_tpu.ops.pallas_decode`);
+* per symbol: ``b = row_index <= v`` (an IOTA compare — cheaper than
+  decode's data compare), ``lo = cdf[v] = max(where(b, cdf, 0))``,
+  ``hi = cdf[v+1] = min(where(b, BIG, cdf))`` (the row is strictly
+  increasing), then the ``+delta`` suffix update unless frozen
+  (adaptive_linear.rs:33-39) — chunked accumulators like the decoder's
+  production sweep;
+* the freeze gate and the running total are CLOSED FORMS of ``t``
+  (ranks.py derivation), so the kernel carries no cross-epoch state
+  beyond the model row itself;
+* outputs stream straight to the ``(k_pad, B)`` transposed planes the
+  streaming coder kernel consumes.
+
+Bit-equivalence to :func:`redux_tpu.ops.ranks.precompute_encode_model`
+is differential-tested (tests/test_pallas_model.py); the composition
+with the coder is differential-tested against the sequential oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+import os as _os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import Parameters
+from .pallas_decode import S_PAD, init_cum_column
+
+LANES = int(_os.environ.get("REDUX_TPU_MLANES",
+                            _os.environ.get("REDUX_TPU_LANES", "1024")))
+if LANES <= 0 or LANES % 128:
+    raise ValueError(
+        f"REDUX_TPU_MLANES/REDUX_TPU_LANES must be a positive multiple of 128 "
+        f"(got {LANES}); set before first import — later changes have no effect"
+    )
+LN = 128
+G = max(1, LANES // LN)
+EPOCH = 32
+
+i32 = jnp.int32
+
+
+def _model_kernel(params: Parameters, k: int, delta: int, n_epochs: int,
+                  unroll: bool = True):
+    freq_max = params.freq_max
+
+    def kernel(lens_ref, init_ref, consts_ref, syms_ref, lo_ref, hi_ref, cdf_s):
+        e = pl.program_id(1)
+        lens = lens_ref[:, :]
+        tfreeze = consts_ref[0, 0]
+
+        @pl.when(e == 0)
+        def _init():
+            cdf_s[:, :, :] = init_ref[:, :, :] + jnp.zeros((S_PAD, G, LN), i32)
+
+        CH = int(_os.environ.get("REDUX_TPU_MODEL_CH", "8"))
+        assert S_PAD % CH == 0
+        rows_ch = jax.lax.broadcasted_iota(i32, (CH, G, LN), 0)
+
+        def step(ii, _):
+            t = e * EPOCH + ii
+            v = syms_ref[pl.ds(ii, 1), :, :][0]
+            active = t < lens
+            # Freeze once the running total reaches freq_max: with the
+            # closed-form total init + delta*min(t, lens, tfreeze), the
+            # gate is simply t < tfreeze for active lanes (ranks.py).
+            upd = active & (t < tfreeze)
+            delta_v = jnp.where(upd, i32(delta), i32(0))
+            acc_lo = jnp.zeros((G, LN), i32)
+            acc_hi = jnp.full((G, LN), 0x7FFFFFFF, i32)
+            for c in range(S_PAD // CH):
+                ch = cdf_s[c * CH : (c + 1) * CH, :, :]
+                bch = (rows_ch + i32(c * CH)) <= v[None]
+                acc_lo = jnp.maximum(
+                    acc_lo, jnp.max(jnp.where(bch, ch, i32(0)), axis=0)
+                )
+                acc_hi = jnp.minimum(
+                    acc_hi,
+                    jnp.min(jnp.where(bch, i32(0x7FFFFFFF), ch), axis=0),
+                )
+                cdf_s[c * CH : (c + 1) * CH, :, :] = ch + jnp.where(
+                    bch, i32(0), delta_v[None]
+                )
+            lo_ref[pl.ds(ii, 1), :, :] = acc_lo[None]
+            hi_ref[pl.ds(ii, 1), :, :] = acc_hi[None]
+            return 0
+
+        if unroll:
+            for ii in range(EPOCH):
+                step(ii, 0)
+        else:
+            jax.lax.fori_loop(0, EPOCH, step, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("params", "k", "delta"))
+def _model_lohi_jit(syms_t, lens, init_col, consts, params: Parameters,
+                    k: int, delta: int):
+    """(k_pad, b) int32 lo/hi planes from (k_pad, b) int32 symbols.
+
+    ``syms_t`` is position-major (the coder kernel's plane layout);
+    ``lens`` is (1, b); ``consts`` is (1, 1) int32 [t_freeze].
+    """
+    k_pad, b = syms_t.shape
+    n_tiles = b // LANES
+    n_epochs = k_pad // EPOCH
+    interp = jax.default_backend() == "cpu"
+    kernel = _model_kernel(params, k, delta, n_epochs, unroll=not interp)
+    s3 = (
+        syms_t.reshape(k_pad, n_tiles, G, LN)
+        .transpose(0, 2, 1, 3)
+        .reshape(k_pad, G, n_tiles * LN)
+    )
+    l3 = lens.reshape(n_tiles, G, LN).transpose(1, 0, 2).reshape(G, n_tiles * LN)
+    i3 = init_col.reshape(S_PAD, 1, 1)
+    lo, hi = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_epochs),
+        in_specs=[
+            pl.BlockSpec((G, LN), lambda i, e: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_PAD, 1, 1), lambda i, e: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, e: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((EPOCH, G, LN), lambda i, e: (e, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((EPOCH, G, LN), lambda i, e: (e, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EPOCH, G, LN), lambda i, e: (e, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interp,
+        out_shape=(
+            jax.ShapeDtypeStruct((k_pad, G, n_tiles * LN), i32),
+            jax.ShapeDtypeStruct((k_pad, G, n_tiles * LN), i32),
+        ),
+        scratch_shapes=[pltpu.VMEM((S_PAD, G, LN), i32)],
+    )(l3, i3, consts, s3)
+
+    def back(x):
+        return (
+            x.reshape(k_pad, G, n_tiles, LN)
+            .transpose(0, 2, 1, 3)
+            .reshape(k_pad, b)
+        )
+
+    return back(lo), back(hi)
+
+
+def model_lohi_pallas(syms, lens, init_cum, params: Parameters, delta: int = 1):
+    """(lo, hi) model-value planes for ``(B, K)`` symbols — kernel entry.
+
+    Drop-in for the first two outputs of
+    :func:`redux_tpu.ops.ranks.precompute_encode_model` (``with_tot``
+    analog: totals are closed-form, computed by the coder in-kernel).
+    Convenience form with device transposes; the fused encode path feeds
+    the transposed layout directly.
+    """
+    b, k = syms.shape
+    b_pad = ((b + LANES - 1) // LANES) * LANES
+    k_pad = ((k + EPOCH - 1) // EPOCH) * EPOCH
+    with jax.enable_x64(False):
+        syms_t = jnp.pad(
+            syms.astype(jnp.int32), ((0, b_pad - b), (0, k_pad - k))
+        ).T
+        lens_p = jnp.pad(lens.astype(jnp.int32), (0, b_pad - b)).reshape(1, b_pad)
+        init_col = jnp.asarray(init_cum_column(np.asarray(init_cum), params))
+        it0 = jnp.asarray(init_cum, jnp.int32)[-1]
+        tf = jnp.maximum(
+            (jnp.int32(params.freq_max) - it0 + (delta - 1)) // jnp.int32(delta),
+            0,
+        ).reshape(1, 1)
+        lo, hi = _model_lohi_jit(
+            syms_t, lens_p, init_col, tf, params, k, int(delta)
+        )
+        return lo.T[:b, :k], hi.T[:b, :k]

@@ -139,8 +139,9 @@ def pallas_lane_quantum(mesh: Mesh) -> int:
 
     from ..ops.pallas_decode import LANES as DLANES
     from ..ops.pallas_encode import LANES as ELANES
+    from ..ops.pallas_model import LANES as MLANES
 
-    return math.lcm(ELANES, DLANES) * mesh.devices.size
+    return math.lcm(ELANES, DLANES, MLANES) * mesh.devices.size
 
 
 @functools.partial(
