@@ -276,7 +276,7 @@ def run_device_benchmark(data: bytes, block_size: int = 0, iters: int = 10,
     # the timing must end with a consuming dispatch + a tiny fetch.
     t0 = time.perf_counter()
     up = jax.device_put(jnp.asarray(np.frombuffer(data, np.uint8)))
-    np.asarray(jax.jit(lambda x: x[::65536].astype(jnp.int32).sum())(up))
+    np.asarray(jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))(up))
     tunnel_gbps = len(data) / (time.perf_counter() - t0) / 1e9
     del up
 

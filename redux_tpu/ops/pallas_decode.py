@@ -78,9 +78,11 @@ if LANES <= 0 or LANES % 128:
 LN = 128  # hardware lane width (minor dim)
 G = max(1, LANES // LN)  # sublane-packed lane groups
 # Independent lane tiles interleaved per kernel program (hardware only):
-# one phase's serial interval/renorm chain hides under the other's model
-# sweep (see _decode_kernel).  1 disables.
-PHASES = int(_os.environ.get("REDUX_TPU_DECODE_PHASES", "2"))
+# one phase's serial interval/renorm chain can hide under the other's
+# model sweep (see _decode_kernel).  Default 1: once the reciprocal
+# ladder removed the chain's divide stalls, slope-timed A/B shows no
+# phase-interleave gain — kept as an env-tunable experiment.
+PHASES = int(_os.environ.get("REDUX_TPU_DECODE_PHASES", "1"))
 if PHASES < 1:
     raise ValueError(f"REDUX_TPU_DECODE_PHASES must be >= 1 (got {PHASES})")
 EPOCH = 32  # symbols per inner loop
@@ -213,7 +215,7 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
                 # hardware since the round-4 reciprocal chain fix).
                 upd = active & (count_i < i32(freq_max))
                 delta_v = jnp.where(upd, i32(delta), i32(0))
-                CH = int(_os.environ.get("REDUX_TPU_DECODE_CH", "4"))
+                CH = int(_os.environ.get("REDUX_TPU_DECODE_CH", "2"))
                 assert S_PAD % CH == 0, "chunk rows must divide S_PAD"
                 # W independent accumulator sets (round-robin over chunks)
                 # break the n_chunks-long accumulate chains into W shorter

@@ -55,7 +55,10 @@ from . import wide32
 from .coder import _append96, _leftalign64, _piece64
 
 import os as _os
-LANES = int(_os.environ.get("REDUX_TPU_LANES", "512"))  # lanes per kernel program (ILP width)
+LANES = int(_os.environ.get("REDUX_TPU_LANES", "1024"))  # lanes per kernel program
+# (EG = LANES/128 = 8 sublane groups: full (8, 128) vregs for the coder's
+# per-lane math.  The round-3 default of 512 half-filled every vreg and
+# cost ~2 ms on the bench corpus — found once slope timing was trusted.)
 if LANES <= 0 or LANES % 128:
     raise ValueError(
         f"REDUX_TPU_LANES must be a positive multiple of 128 (got {LANES}); "
