@@ -112,6 +112,118 @@ def run_multihost_roundtrip(
     )
 
 
+def run_scaling_worker(
+    coordinator: str,
+    num_processes: int,
+    process_id: int,
+    bytes_per_host: int = 3 << 20,
+    k: int = 4096,
+    delta: int = 16,
+    iters: int = 3,
+) -> str:
+    """Weak-scaling measurement worker: one REAL process per host.
+
+    Unlike the virtual-device mesh (whose N>1 points time-share the host
+    cores inside one runtime and mostly measure the scheduler), each
+    worker here is an independent OS process with its own XLA runtime
+    and one CPU device, exchanging only the jax.distributed barriers and
+    the output gather — the actual multi-host execution model.  Timing:
+    ``iters`` encode+decode rounds over the process-local shard with a
+    global barrier before/after; the reported time is the max across
+    processes by construction (everyone waits at the barrier).
+    """
+    import json
+    import time
+
+    import jax
+
+    from .mesh import (
+        data_parallel_mesh,
+        decode_blocks_sharded,
+        encode_blocks_sharded,
+        initialize_multihost,
+    )
+
+    initialize_multihost(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..models.dense import uniform_init_cum
+    from ..ops.coder import max_block_words
+    from ..ops.ranks import precompute_encode_model
+
+    params = Parameters.tpu_wide()
+    bph = bytes_per_host // k
+    b = bph * num_processes
+    src = open("/root/reference/resources/calgary/book1", "rb").read()
+    data = (src * (b * k // len(src) + 1))[: b * k]
+    syms_np = np.frombuffer(data, np.uint8).reshape(b, k).astype(np.int32)
+    lens_np = np.full(b, k, np.int32)
+    ic = uniform_init_cum(params).astype(np.int32)
+    mesh = data_parallel_mesh()
+    shard = NamedSharding(mesh, P("dp"))
+
+    def local_piece(x):
+        return jax.make_array_from_callback(x.shape, shard, lambda idx: x[idx])
+
+    syms = local_piece(syms_np)
+    lens = local_piece(lens_np)
+    icj = jnp.asarray(ic)
+    n_words = max_block_words(
+        min(257 + delta * k, params.freq_max), params.symbol_count, params, k
+    )
+
+    def enc():
+        lo, hi, tot, _, _, _ = precompute_encode_model(
+            syms, lens, icj, params.freq_max, delta=delta
+        )
+        return encode_blocks_sharded(lo, hi, tot, lens, params, n_words, mesh)
+
+    words, blens, _ = jax.block_until_ready(enc())  # compile warmup
+    multihost_utils.sync_global_devices("enc-start")
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        words, blens, _ = jax.block_until_ready(enc())
+    multihost_utils.sync_global_devices("enc-end")
+    t_enc = (time.perf_counter() - t0) / iters
+
+    dec = jax.block_until_ready(
+        decode_blocks_sharded(words, lens, icj, params, k, mesh, delta=delta)
+    )
+    multihost_utils.sync_global_devices("dec-start")
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        dec = jax.block_until_ready(
+            decode_blocks_sharded(words, lens, icj, params, k, mesh, delta=delta)
+        )
+    multihost_utils.sync_global_devices("dec-end")
+    t_dec = (time.perf_counter() - t0) / iters
+
+    # Ordered gather + global verification (untimed).
+    dec_all = multihost_utils.process_allgather(dec, tiled=True)
+    ok = bool(
+        np.array_equal(
+            np.asarray(dec_all)[:, :k].astype(np.uint8),
+            syms_np.astype(np.uint8),
+        )
+    )
+    return json.dumps(
+        {
+            "process": process_id,
+            "n_procs": num_processes,
+            "bytes": len(data),
+            "t_enc": t_enc,
+            "t_dec": t_dec,
+            "verified": ok,
+        }
+    )
+
+
 def main():  # pragma: no cover - exercised via subprocess in tests
     import argparse
 
@@ -119,13 +231,25 @@ def main():  # pragma: no cover - exercised via subprocess in tests
     ap.add_argument("--coordinator", required=True)
     ap.add_argument("--num-processes", type=int, required=True)
     ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--scaling", action="store_true",
+                    help="run the weak-scaling worker instead of the demo")
+    ap.add_argument("--bytes-per-host", type=int, default=3 << 20)
     args = ap.parse_args()
-    print(
-        run_multihost_roundtrip(
-            args.coordinator, args.num_processes, args.process_id
-        ),
-        flush=True,
-    )
+    if args.scaling:
+        print(
+            run_scaling_worker(
+                args.coordinator, args.num_processes, args.process_id,
+                bytes_per_host=args.bytes_per_host,
+            ),
+            flush=True,
+        )
+    else:
+        print(
+            run_multihost_roundtrip(
+                args.coordinator, args.num_processes, args.process_id
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -191,6 +191,51 @@ def run_pallas(n_dev, blocks_per_dev=1536, k=2048, delta=16):
             "gbps": 2 * len(data) / (t_enc + t_dec) / 1e9, "verified": bool(ok)}
 
 
+def run_multiprocess(n_procs, bytes_per_host=3 << 20):
+    """TRUE weak scaling: one OS process per host, pinned to its own
+    physical core, own XLA runtime, jax.distributed barriers — the
+    actual multi-host execution model (the virtual-device mesh times
+    the in-process scheduler at N>1, not the codec)."""
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v for k, v in os.environ.items()
+        if not k.startswith(("JAX_", "XLA_"))
+    }
+    env.update(
+        PYTHONPATH=repo,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_cpu_multi_thread_eigen=false "
+                  "intra_op_parallelism_threads=1",
+        OMP_NUM_THREADS="1",
+    )
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", str(pid % (os.cpu_count() or 1)),
+             sys.executable, "-m", "redux_tpu.parallel.multihost",
+             "--scaling", "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", str(n_procs), "--process-id", str(pid),
+             "--bytes-per-host", str(bytes_per_host)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(n_procs)
+    ]
+    outs = [p.communicate(timeout=1200) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        if p.returncode != 0:
+            raise RuntimeError(f"scaling worker failed: {e[-2000:]}")
+    r = json.loads(outs[0][0].strip().splitlines()[-1])
+    r["gbps"] = 2 * r["bytes"] / (r["t_enc"] + r["t_dec"]) / 1e9
+    return r
+
+
 def main():
     ncores = os.cpu_count() or 1
 
@@ -206,17 +251,32 @@ def main():
             )
         return results
 
+    mp = [run_multiprocess(n) for n in (1, 2) if n <= ncores]
+    for r in mp:
+        # Weak scaling across real cores: efficiency = t(1) / t(N).
+        r["efficiency"] = (mp[0]["t_enc"] + mp[0]["t_dec"]) / (
+            r["t_enc"] + r["t_dec"]
+        )
     results = sweep(run, (1, 2, 4, 8))
     pallas_results = sweep(run_pallas, (1, 2))
     out = {
-        "mode": "weak-scaling, virtual CPU mesh (shard_map dp axis)",
-        "note": "host has %d physical cores; intra-op threading pinned to 1 "
-                "thread/device so N=1 really uses one core; n_dev beyond the "
-                "cores time-shares them, so efficiency_vs_cores is the "
-                "meaningful column there.  Real pods swap the mesh for TPU "
-                "chips/hosts; identical shard_map program." % ncores,
+        "mode": "weak-scaling; PRIMARY: real multi-process jax.distributed "
+                "(one pinned core per host process, 3 MB/host); secondary: "
+                "virtual CPU mesh (shard_map dp axis)",
+        "note": "host has %d physical cores.  multiprocess_results is the "
+                "honest axis: independent OS processes (one per core, own XLA "
+                "runtime, jax.distributed barriers + ordered gather) — the "
+                "real multi-host execution model; efficiency = t(1)/t(N) at "
+                "fixed bytes/host.  The virtual-device sections share ONE "
+                "runtime: N>cores time-shares, and even N=2 pays in-process "
+                "scheduler and cache contention that real pods do not — "
+                "recorded for phase-level data, not as scaling evidence.  "
+                "Real pods swap the mesh for TPU chips/hosts; identical "
+                "shard_map program." % ncores,
         "physical_cores": ncores,
         "bytes_per_device": results[0]["bytes"] // results[0]["n_dev"],
+        "multiprocess_results": mp,
+        "multiprocess_efficiency_n2": mp[-1]["efficiency"] if len(mp) > 1 else None,
         "results": results,
         "pallas_interpret_results": pallas_results,
         "min_efficiency_n_ge_2": min(r["efficiency"] for r in results[1:]),
