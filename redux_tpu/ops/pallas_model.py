@@ -76,6 +76,10 @@ def _model_kernel(params: Parameters, k: int, delta: int, n_epochs: int,
         CH = int(_os.environ.get("REDUX_TPU_MODEL_CH", "8"))
         assert S_PAD % CH == 0
         rows_ch = jax.lax.broadcasted_iota(i32, (CH, G, LN), 0)
+        # Perturbation probes (dev-only): deliberately WRONG variants
+        # that skip one stage so its share can be slope-timed on
+        # hardware (same methodology as the decode kernel's probes).
+        probe = _os.environ.get("REDUX_TPU_MODEL_PROBE", "")
 
         def step(ii, _):
             t = e * EPOCH + ii
@@ -91,16 +95,18 @@ def _model_kernel(params: Parameters, k: int, delta: int, n_epochs: int,
             for c in range(S_PAD // CH):
                 ch = cdf_s[c * CH : (c + 1) * CH, :, :]
                 bch = (rows_ch + i32(c * CH)) <= v[None]
-                acc_lo = jnp.maximum(
-                    acc_lo, jnp.max(jnp.where(bch, ch, i32(0)), axis=0)
-                )
-                acc_hi = jnp.minimum(
-                    acc_hi,
-                    jnp.min(jnp.where(bch, i32(0x7FFFFFFF), ch), axis=0),
-                )
-                cdf_s[c * CH : (c + 1) * CH, :, :] = ch + jnp.where(
-                    bch, i32(0), delta_v[None]
-                )
+                if probe != "noextract":
+                    acc_lo = jnp.maximum(
+                        acc_lo, jnp.max(jnp.where(bch, ch, i32(0)), axis=0)
+                    )
+                    acc_hi = jnp.minimum(
+                        acc_hi,
+                        jnp.min(jnp.where(bch, i32(0x7FFFFFFF), ch), axis=0),
+                    )
+                if probe != "noupdate":
+                    cdf_s[c * CH : (c + 1) * CH, :, :] = ch + jnp.where(
+                        bch, i32(0), delta_v[None]
+                    )
             lo_ref[pl.ds(ii, 1), :, :] = acc_lo[None]
             hi_ref[pl.ds(ii, 1), :, :] = acc_hi[None]
             return 0

@@ -158,12 +158,16 @@ def run_scaling_worker(
     from ..ops.ranks import precompute_encode_model
 
     params = Parameters.tpu_wide()
-    bph = bytes_per_host // k
-    b = bph * num_processes
+    # Lane-chunked dispatch, mirroring api.encode's production chunking:
+    # one monolithic 3 MB/host call gives the XLA rank path a ~200 MB
+    # working set that is DRAM-bandwidth-bound on CPU hosts, so N=2
+    # would measure shared-memory contention instead of the codec.
+    # 96-block slices stay cache-resident per process.
+    bpc = 96  # blocks per host per chunk
+    bph = max(bpc, (bytes_per_host // k) // bpc * bpc)
+    n_chunks = bph // bpc
     src = open("/root/reference/resources/calgary/book1", "rb").read()
-    data = (src * (b * k // len(src) + 1))[: b * k]
-    syms_np = np.frombuffer(data, np.uint8).reshape(b, k).astype(np.int32)
-    lens_np = np.full(b, k, np.int32)
+    data = (src * (bph * num_processes * k // len(src) + 1))
     ic = uniform_init_cum(params).astype(np.int32)
     mesh = data_parallel_mesh()
     shard = NamedSharding(mesh, P("dp"))
@@ -171,47 +175,68 @@ def run_scaling_worker(
     def local_piece(x):
         return jax.make_array_from_callback(x.shape, shard, lambda idx: x[idx])
 
-    syms = local_piece(syms_np)
+    # Chunk c holds rows [c*bpc, (c+1)*bpc) of every host's shard.
+    bc = bpc * num_processes
+    chunks_np = []
+    for c in range(n_chunks):
+        rows = []
+        for p in range(num_processes):
+            start = (p * bph + c * bpc) * k
+            rows.append(
+                np.frombuffer(data[start : start + bpc * k], np.uint8)
+                .reshape(bpc, k)
+                .astype(np.int32)
+            )
+        chunks_np.append(np.concatenate(rows, axis=0))
+    lens_np = np.full(bc, k, np.int32)
+    syms_c = [local_piece(x) for x in chunks_np]
     lens = local_piece(lens_np)
     icj = jnp.asarray(ic)
     n_words = max_block_words(
         min(257 + delta * k, params.freq_max), params.symbol_count, params, k
     )
 
-    def enc():
+    def enc(chunk):
         lo, hi, tot, _, _, _ = precompute_encode_model(
-            syms, lens, icj, params.freq_max, delta=delta
+            chunk, lens, icj, params.freq_max, delta=delta
         )
         return encode_blocks_sharded(lo, hi, tot, lens, params, n_words, mesh)
 
-    words, blens, _ = jax.block_until_ready(enc())  # compile warmup
+    words_c = [jax.block_until_ready(enc(s)) for s in syms_c[:1]]  # warmup
     multihost_utils.sync_global_devices("enc-start")
     t0 = time.perf_counter()
     for _ in range(iters):
-        words, blens, _ = jax.block_until_ready(enc())
+        words_c = [jax.block_until_ready(enc(s))[:2] for s in syms_c]
     multihost_utils.sync_global_devices("enc-end")
     t_enc = (time.perf_counter() - t0) / iters
 
-    dec = jax.block_until_ready(
-        decode_blocks_sharded(words, lens, icj, params, k, mesh, delta=delta)
-    )
+    def dec_all_chunks():
+        return [
+            jax.block_until_ready(
+                decode_blocks_sharded(w, lens, icj, params, k, mesh, delta=delta)
+            )
+            for w, _bl in words_c
+        ]
+
+    dec_c = dec_all_chunks()  # warmup
     multihost_utils.sync_global_devices("dec-start")
     t0 = time.perf_counter()
     for _ in range(iters):
-        dec = jax.block_until_ready(
-            decode_blocks_sharded(words, lens, icj, params, k, mesh, delta=delta)
-        )
+        dec_c = dec_all_chunks()
     multihost_utils.sync_global_devices("dec-end")
     t_dec = (time.perf_counter() - t0) / iters
 
     # Ordered gather + global verification (untimed).
-    dec_all = multihost_utils.process_allgather(dec, tiled=True)
-    ok = bool(
-        np.array_equal(
-            np.asarray(dec_all)[:, :k].astype(np.uint8),
-            syms_np.astype(np.uint8),
+    ok = True
+    for c, d in enumerate(dec_c):
+        dall = multihost_utils.process_allgather(d, tiled=True)
+        ok = ok and bool(
+            np.array_equal(
+                np.asarray(dall)[:, :k].astype(np.uint8),
+                chunks_np[c].astype(np.uint8),
+            )
         )
-    )
+    data = data[: bph * num_processes * k]
     return json.dumps(
         {
             "process": process_id,

@@ -251,13 +251,22 @@ def main():
             )
         return results
 
-    mp = [run_multiprocess(n) for n in (1, 2) if n <= ncores]
-    for r in mp:
-        # Weak scaling across real cores: efficiency = t(1) / t(N).
-        r["efficiency"] = (mp[0]["t_enc"] + mp[0]["t_dec"]) / (
-            r["t_enc"] + r["t_dec"]
-        )
-    results = sweep(run, (1, 2, 4, 8))
+    # Median of 3 trials: this is a shared VM with visible steal-time
+    # outliers (one trial measured a 4x encode excursion at N=2).
+    trials = []
+    for _ in range(3):
+        pair = [run_multiprocess(n) for n in (1, 2) if n <= ncores]
+        for r in pair:
+            r["efficiency"] = (pair[0]["t_enc"] + pair[0]["t_dec"]) / (
+                r["t_enc"] + r["t_dec"]
+            )
+        trials.append(pair)
+    trials.sort(key=lambda pr: pr[-1]["efficiency"])
+    mp = trials[len(trials) // 2]
+    mp_all = [round(pr[-1]["efficiency"], 3) for pr in trials]
+    # Virtual sizes beyond the 2 physical cores only measure runtime
+    # time-sharing (recorded in round 3); keep the physical range.
+    results = sweep(run, (1, 2))
     pallas_results = sweep(run_pallas, (1, 2))
     out = {
         "mode": "weak-scaling; PRIMARY: real multi-process jax.distributed "
@@ -277,6 +286,7 @@ def main():
         "bytes_per_device": results[0]["bytes"] // results[0]["n_dev"],
         "multiprocess_results": mp,
         "multiprocess_efficiency_n2": mp[-1]["efficiency"] if len(mp) > 1 else None,
+        "multiprocess_trial_efficiencies": mp_all,
         "results": results,
         "pallas_interpret_results": pallas_results,
         "min_efficiency_n_ge_2": min(r["efficiency"] for r in results[1:]),
