@@ -1,4 +1,10 @@
-"""Stage-by-stage profiling of the device codec path (dev tool)."""
+"""Stage-by-stage profiling of the XLA codec path (dev tool).
+
+NOTE (round 4): prefer scripts/kbench.py — it uses the slope-timing
+methodology that survives the tunnel runtime's lazy sync and
+identical-content dispatch caching (BASELINE.md post-mortem).  The
+coarse timings here are indicative only.
+"""
 import os, sys, time
 os.environ.setdefault("JAX_PLATFORMS", "")
 import jax, jax.numpy as jnp, numpy as np
@@ -9,8 +15,9 @@ from redux_tpu.params import Parameters
 from bench import load_corpus
 
 def sync(*a):
-    for x in a:
-        np.asarray(jax.device_get(jnp.ravel(x)[:1]))
+    # block_until_ready ONLY: the old eager device_get pattern takes ~13 s
+    # on the tunnel AND permanently degrades the runtime (BASELINE.md).
+    jax.block_until_ready(a)
 
 def run(params, block_size, iters=3):
     data = load_corpus()
