@@ -76,46 +76,73 @@ def _model_kernel(params: Parameters, k: int, delta: int, n_epochs: int,
         CH = int(_os.environ.get("REDUX_TPU_MODEL_CH", "8"))
         assert S_PAD % CH == 0
         rows_ch = jax.lax.broadcasted_iota(i32, (CH, G, LN), 0)
+        # Symbols per fused sweep: encode knows every symbol, so U
+        # positions can share ONE row-update pass, with the later
+        # positions' lo/hi fixed up by exact 1-compare corrections
+        # against the group's earlier symbols (the +delta rule applied
+        # symbolically).  Slope-timed NEGATIVE result: U=2/4 measure
+        # 0.1/0.4 ms SLOWER than U=1 on v5e — the 4 extra (G, LN)
+        # accumulators per extra symbol outweigh the shared store.
+        # Default 1; kept as a differential-tested env experiment.
+        U = int(_os.environ.get("REDUX_TPU_MODEL_GROUP", "1"))
+        assert EPOCH % U == 0
         # Perturbation probes (dev-only): deliberately WRONG variants
         # that skip one stage so its share can be slope-timed on
         # hardware (same methodology as the decode kernel's probes).
         probe = _os.environ.get("REDUX_TPU_MODEL_PROBE", "")
 
-        def step(ii, _):
-            t = e * EPOCH + ii
-            v = syms_ref[pl.ds(ii, 1), :, :][0]
-            active = t < lens
-            # Freeze once the running total reaches freq_max: with the
-            # closed-form total init + delta*min(t, lens, tfreeze), the
-            # gate is simply t < tfreeze for active lanes (ranks.py).
-            upd = active & (t < tfreeze)
-            delta_v = jnp.where(upd, i32(delta), i32(0))
-            acc_lo = jnp.zeros((G, LN), i32)
-            acc_hi = jnp.full((G, LN), 0x7FFFFFFF, i32)
+        def step(jj, _):
+            t0 = e * EPOCH + jj * U
+            vs, dv = [], []
+            for u in range(U):
+                vs.append(syms_ref[pl.ds(jj * U + u, 1), :, :][0])
+                # Freeze once the running total reaches freq_max: with
+                # the closed-form total init + delta*min(t, lens,
+                # tfreeze), the gate is t < tfreeze for active lanes
+                # (ranks.py derivation).
+                upd = ((t0 + u) < lens) & ((t0 + u) < tfreeze)
+                dv.append(jnp.where(upd, i32(delta), i32(0)))
+            acc_lo = [jnp.zeros((G, LN), i32) for _ in range(U)]
+            acc_hi = [jnp.full((G, LN), 0x7FFFFFFF, i32) for _ in range(U)]
             for c in range(S_PAD // CH):
                 ch = cdf_s[c * CH : (c + 1) * CH, :, :]
-                bch = (rows_ch + i32(c * CH)) <= v[None]
-                if probe != "noextract":
-                    acc_lo = jnp.maximum(
-                        acc_lo, jnp.max(jnp.where(bch, ch, i32(0)), axis=0)
-                    )
-                    acc_hi = jnp.minimum(
-                        acc_hi,
-                        jnp.min(jnp.where(bch, i32(0x7FFFFFFF), ch), axis=0),
-                    )
+                upd_sum = None
+                for u in range(U):
+                    bch = (rows_ch + i32(c * CH)) <= vs[u][None]
+                    if probe != "noextract":
+                        acc_lo[u] = jnp.maximum(
+                            acc_lo[u],
+                            jnp.max(jnp.where(bch, ch, i32(0)), axis=0),
+                        )
+                        acc_hi[u] = jnp.minimum(
+                            acc_hi[u],
+                            jnp.min(jnp.where(bch, i32(0x7FFFFFFF), ch), axis=0),
+                        )
+                    inc = jnp.where(bch, i32(0), dv[u][None])
+                    upd_sum = inc if upd_sum is None else upd_sum + inc
                 if probe != "noupdate":
-                    cdf_s[c * CH : (c + 1) * CH, :, :] = ch + jnp.where(
-                        bch, i32(0), delta_v[None]
-                    )
-            lo_ref[pl.ds(ii, 1), :, :] = acc_lo[None]
-            hi_ref[pl.ds(ii, 1), :, :] = acc_hi[None]
+                    cdf_s[c * CH : (c + 1) * CH, :, :] = ch + upd_sum
+            # Corrections: position u's values are against the row state
+            # AFTER the group's earlier updates; extraction above read
+            # the group-start state, so add delta_i for each earlier
+            # symbol below (lo) / at-or-below (hi) this one
+            # (adaptive_linear.rs:33-39 applied symbolically).
+            for u in range(1, U):
+                for i in range(u):
+                    gt = (vs[u] > vs[i]).astype(i32)
+                    ge = (vs[u] >= vs[i]).astype(i32)
+                    acc_lo[u] = acc_lo[u] + dv[i] * gt
+                    acc_hi[u] = acc_hi[u] + dv[i] * ge
+            for u in range(U):
+                lo_ref[pl.ds(jj * U + u, 1), :, :] = acc_lo[u][None]
+                hi_ref[pl.ds(jj * U + u, 1), :, :] = acc_hi[u][None]
             return 0
 
         if unroll:
-            for ii in range(EPOCH):
-                step(ii, 0)
+            for jj in range(EPOCH // U):
+                step(jj, 0)
         else:
-            jax.lax.fori_loop(0, EPOCH, step, 0)
+            jax.lax.fori_loop(0, EPOCH // U, step, 0)
 
     return kernel
 
