@@ -7,8 +7,9 @@ but running the TPU-native block-parallel data path:
 1. split input into fixed-size blocks (the codec analog of context
    parallelism — SURVEY.md §5);
 2. derive the warm-start prior from the global byte histogram;
-3. precompute every block's per-symbol model values in parallel
-   (:mod:`redux_tpu.ops.ranks`);
+3. compute every block's per-symbol model values on-device
+   (:mod:`redux_tpu.ops.pallas_model` on TPU, the closed-form
+   :mod:`redux_tpu.ops.ranks` on CPU);
 4. run the vectorized interval coder over all blocks at once
    (:mod:`redux_tpu.ops.coder`, Pallas kernels on TPU);
 5. splice per-block streams into an RXT v2 archive

@@ -1,16 +1,16 @@
 """Pallas TPU encode kernels: the v2 symbol loop + bit packing on-chip.
 
-Two encoders share this file; both produce bit-identical streams:
+Encoders in this file; all produce bit-identical streams:
 
-* :func:`encode_blocks_ranked` — the PRODUCTION path: the parallel rank
-  precompute (:mod:`redux_tpu.ops.ranks`) derives every position's model
-  triple up front, and the streaming kernel below codes them with no
-  model state in the loop.  ~5x faster than the model-in-kernel variant
-  (the dense-row sweeps dominated its per-symbol cost).
-* :func:`encode_blocks_pallas_m` — the model-in-kernel variant (dense
-  cdf rows resident in VMEM, like the decoder).  Kept as a second
-  independent implementation: no rank precompute, 12 bytes/byte less
-  HBM, and a differential cross-check of the ranks math on real data.
+* :func:`encode_blocks_ranked` — the PRODUCTION path: per-position model
+  values from the model-values kernel (:mod:`redux_tpu.ops.pallas_model`
+  on TPU; the closed-form rank precompute :mod:`redux_tpu.ops.ranks` on
+  CPU) feed the streaming coder kernel below, which codes them with no
+  model state in its loop.
+* :func:`encode_blocks_pallas_m` — the fully-fused model-in-kernel
+  variant (dense cdf rows + coder + emission in ONE kernel).  Kept as an
+  independent implementation for differential cross-checks; its fused
+  emission makes it far slower than the split pipeline.
 
 The XLA planned encoder (:func:`redux_tpu.ops.coder.encode_blocks_v2`)
 runs one `lax.scan` step per symbol (kernel-launch overhead ×K) and a
@@ -18,9 +18,10 @@ runs one `lax.scan` step per symbol (kernel-launch overhead ×K) and a
 round-1 encode bottleneck (0.015 GB/s).  The streaming kernel runs
 everything inside one launch per lane-tile with all state in VMEM:
 
-* **Inputs**: per-position model triples ``lo/hi/tot`` from the parallel
-  rank precompute (:mod:`redux_tpu.ops.ranks`), streamed through the
-  grid in 32-step epoch blocks (auto double-buffered HBM→VMEM).
+* **Inputs**: per-position ``lo/hi`` model values (model-values kernel /
+  rank precompute), streamed through the grid in 32-step epoch blocks
+  (auto double-buffered HBM→VMEM); the running totals are a closed form
+  of ``t`` computed in-kernel from two SMEM scalars.
 * **Interval math**: dual-u32 + f32 exact arithmetic
   (:mod:`redux_tpu.ops.wide32`) — handles the (8,20,22) production
   config without 64-bit emulation.  Closed-form E1/E2/E3 renorm and the
@@ -748,21 +749,22 @@ def encode_blocks_pallas_m(syms, lens, init_cum, params: Parameters, n_words: in
 
 def encode_blocks_ranked(syms, lens, init_cum, params: Parameters, n_words: int,
                          delta: int = 1):
-    """Production encode: parallel rank precompute + streaming coder kernel.
+    """Production encode: model-values kernel + streaming coder kernel.
 
-    The per-position model triples are computed in parallel on the whole
-    batch (:func:`redux_tpu.ops.ranks.precompute_encode_model` — the
-    closed-form break of the reference's encode-side serial order), then
-    the coder kernel consumes them with NO model state in the loop.
-    Measured ~5x faster than the model-in-kernel encoder (the dense-row
-    sweeps dominated its per-symbol cost); bit-identical output
-    (kbench differential + tests/test_pallas_encode.py).
+    On TPU the per-position (lo, hi) model values come from the
+    model-values Pallas kernel (:mod:`redux_tpu.ops.pallas_model` — the
+    decoder's dense-row sweep run encode-side over the known symbols);
+    on CPU from the closed-form rank precompute
+    (:func:`redux_tpu.ops.ranks.precompute_encode_model`).  The coder
+    kernel then consumes them with NO model state in its loop, computing
+    the running totals from their closed form in-kernel.  All paths are
+    bit-identical (kbench differential + tests/test_pallas_encode.py,
+    tests/test_pallas_model.py).
 
-    Costs 12 bytes of HBM per input byte for the lo/hi/tot planes;
-    callers batching >~100 MB per call should chunk lanes, and callers
-    must NOT queue several of these asynchronously (each in-flight call
-    pins its planes in HBM — measured pathological on-chip; consume the
-    outputs between calls).
+    Costs ~8 bytes of HBM per input byte for the lo/hi planes; callers
+    batching >~100 MB per call should chunk lanes (api.encode does, see
+    REDUX_TPU_ENC_CHUNK_MB), and callers must NOT queue several of these
+    asynchronously (each in-flight call pins its planes in HBM).
 
     Same signature/returns as :func:`encode_blocks_pallas_m`.
     """
