@@ -127,6 +127,7 @@ def test_two_phase_interleave_matches_oracle(monkeypatch):
     distinct (k, phases) keeps the jit cache from reusing a full-sweep
     compile."""
     monkeypatch.setenv("REDUX_TPU_DECODE_SWEEP", "chunk")
+    monkeypatch.setenv("REDUX_TPU_DECODE_ACCW", "2")  # split accumulators
     params = Parameters.tpu_wide()
     rng = np.random.default_rng(5)
     k = 96
