@@ -62,7 +62,9 @@ i32 = jnp.int32
 
 def _model_kernel(params: Parameters, k: int, delta: int, n_epochs: int,
                   unroll: bool = True):
-    freq_max = params.freq_max
+    # params/k/n_epochs parameterize the trace cache key; the freeze gate
+    # and totals are closed forms of t (SMEM tfreeze), so the body needs
+    # only `delta` and the shared geometry constants.
 
     def kernel(lens_ref, init_ref, consts_ref, syms_ref, lo_ref, hi_ref, cdf_s):
         e = pl.program_id(1)
