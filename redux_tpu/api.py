@@ -138,6 +138,47 @@ def _auto_block_size(n: int) -> int:
 _AUTO_BS_MIN = 1 << 21  # auto block sizing only pays for multi-tile inputs
 
 
+def _gather_slices(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                   budget: int = 64 << 20) -> np.ndarray:
+    """Concatenate ``buf[starts[i] : starts[i] + lens[i]]`` slices.
+
+    Fully vectorized gather with a BOUNDED transient: the flat int64
+    index costs 8 bytes per gathered byte, so it is built in ~``budget``
+    -byte segments (slice-aligned) instead of all at once — a ~500 MB
+    payload would otherwise need ~8 GB of host RAM just for the index.
+    """
+    lens = lens.astype(np.int64)
+    total = int(lens.sum())
+    out = np.empty(total, dtype=buf.dtype)
+    csum = np.cumsum(lens)
+    cuts = np.searchsorted(csum, np.arange(budget, total, budget))
+    seg = np.concatenate([[0], cuts, [len(lens)]])
+    pos = 0
+    for a, b in zip(seg[:-1], seg[1:]):
+        if a == b:
+            continue
+        ls = lens[a:b]
+        n = int(ls.sum())
+        idx = np.repeat(starts[a:b] - (np.cumsum(ls) - ls), ls) + np.arange(
+            n, dtype=np.int64
+        )
+        out[pos : pos + n] = buf[idx]
+        pos += n
+    return out
+
+
+def _dec_chunk_bytes() -> int:
+    """Decoded bytes per decode kernel dispatch (large-input chunking).
+
+    The decode staging matrix plus the symbol output plane cost a few
+    device bytes per decoded byte; lane chunks bound both for multi-GB
+    archives, mirroring ``REDUX_TPU_ENC_CHUNK_MB`` on the encode side.
+    """
+    import os
+
+    return int(os.environ.get("REDUX_TPU_DEC_CHUNK_MB", "256")) << 20
+
+
 def _enc_chunk_bytes() -> int:
     """Input bytes per encode kernel dispatch (large-input lane chunking).
 
@@ -416,26 +457,22 @@ def decode(archive: bytes, _timings: Optional[dict] = None) -> bytes:
     order = np.argsort(coded_lens, kind="stable")
     _mark("parse")
 
-    def _stage(rows, row_bytes):
-        """(rows, row_bytes) u8 staging matrix of the coded streams, in
-        ``order``, plus per-lane symbol counts — fully vectorized: an
-        offset-table gather pulls the payload bytes straight out of the
-        archive buffer (no per-block Python slicing or joining), and a
-        row-major mask scatter lays them into the lane rows."""
+    def _stage(sel, rows, row_bytes):
+        """(rows, row_bytes) u8 staging matrix of the coded streams for
+        lanes ``sel`` (a slice of ``order``), plus per-lane symbol counts
+        — fully vectorized: a bounded offset-table gather pulls the
+        payload bytes straight out of the archive buffer (no per-block
+        Python slicing or joining), and a row-major mask scatter lays
+        them into the lane rows."""
         byts = np.zeros((rows, row_bytes), dtype=np.uint8)
-        lens_o = coded_lens[order].astype(np.int64)
-        starts_o = stream_offs[order]
-        shift = np.cumsum(lens_o) - lens_o
-        idx = np.repeat(starts_o - shift, lens_o) + np.arange(
-            int(lens_o.sum()), dtype=np.int64
-        )
-        cat = arch_u8[idx]
+        lens_o = coded_lens[sel].astype(np.int64)
+        cat = _gather_slices(arch_u8, stream_offs[sel], lens_o)
         mask = np.arange(row_bytes, dtype=np.int32)[None, :] < lens_o[:, None]
-        if rows > n_blocks:
-            mask = np.pad(mask, ((0, rows - n_blocks), (0, 0)))
+        if rows > len(sel):
+            mask = np.pad(mask, ((0, rows - len(sel)), (0, 0)))
         byts[mask] = cat
         klens = np.zeros(rows, dtype=np.int32)
-        klens[:n_blocks] = np.where(raw_v, 0, block_lens)[order]
+        klens[: len(sel)] = np.where(raw_v, 0, block_lens)[sel]
         return byts, klens
 
     if _use_pallas(params):
@@ -457,7 +494,7 @@ def decode(archive: bytes, _timings: Optional[dict] = None) -> bytes:
             q = pallas_lane_quantum(mesh)
             bp = ((n_blocks + q - 1) // q) * q
             wn_pad, _ = pad_geometry(wcap, n_blocks)
-            byts, klens = _stage(bp, wn_pad * 4)
+            byts, klens = _stage(order, bp, wn_pad * 4)
             words = byts.view(">u4").astype(np.uint32)  # (bp, wn_pad)
             _mark("stage")
             out = decode_blocks_pallas_sharded(
@@ -467,21 +504,42 @@ def decode(archive: bytes, _timings: Optional[dict] = None) -> bytes:
             syms_u8 = np.asarray(out)  # (bp, k), rows = lanes
             _mark("kernel+fetch")
         else:
-            wn_pad, bp = pad_geometry(wcap, n_blocks)
-            byts, klens = _stage(bp, wn_pad * 4)
-            lens_row = klens.reshape(1, bp)
-            # big-endian words, lane-minor: (wn_pad, bp)
-            words_t = np.ascontiguousarray(byts.view(">u4").astype(np.uint32).T)
-            _mark("stage")
-            out = decode_blocks_pallas_t(
-                jnp.asarray(words_t), jnp.asarray(lens_row),
-                jnp.asarray(init_cum_column(ic, params)), params, k,
-                delta=header.delta,
+            # Lane chunking (mirror of the encode side): each dispatch
+            # covers a bounded slab of sorted lanes, so the device
+            # staging matrix + output plane stay bounded for multi-GB
+            # archives.  Lanes are sorted by coded length, so early
+            # chunks get smaller word capacities (cheaper uploads); the
+            # word capacity is re-derived per chunk and pad_geometry's
+            # coarse quantum keeps the distinct compile shapes few.
+            chunk_lanes = max(
+                128, (_dec_chunk_bytes() // max(k, 1)) // 128 * 128
             )
-            syms_u8 = np.asarray(out[:k, :]).T  # (bp, k), rows = lanes
-            _mark("kernel+fetch")
+            icol = jnp.asarray(init_cum_column(ic, params))
+            syms_u8 = np.empty((n_blocks, k), dtype=np.uint8)
+            for s0 in range(0, n_blocks, chunk_lanes):
+                s1 = min(s0 + chunk_lanes, n_blocks)
+                sel = order[s0:s1]
+                m = s1 - s0
+                coded_max_i = int(coded_lens[sel].max(initial=0))
+                if coded_max_i == 0:  # all-raw slab: no kernel work
+                    syms_u8[s0:s1] = 0
+                    continue
+                wcap_i = min(max(4, -(-coded_max_i // 4) + 2), n_words + 2)
+                wn_pad, bp = pad_geometry(wcap_i, m)
+                byts, klens = _stage(sel, bp, wn_pad * 4)
+                lens_row = klens.reshape(1, bp)
+                # big-endian words, lane-minor: (wn_pad, bp)
+                words_t = np.ascontiguousarray(
+                    byts.view(">u4").astype(np.uint32).T
+                )
+                out = decode_blocks_pallas_t(
+                    jnp.asarray(words_t), jnp.asarray(lens_row),
+                    icol, params, k, delta=header.delta,
+                )
+                syms_u8[s0:s1] = np.asarray(out[:k, :m]).T
+            _mark("stage+kernel+fetch")
     else:
-        byts, klens = _stage(b_pad, wcap * 4)
+        byts, klens = _stage(order, b_pad, wcap * 4)
         _mark("stage")
         words = bytes_to_words_device(jnp.asarray(byts))
         syms_u8 = np.asarray(
@@ -498,11 +556,15 @@ def decode(archive: bytes, _timings: Optional[dict] = None) -> bytes:
     inv[order] = np.arange(n_blocks)
     flat = syms_u8[inv]  # (n_blocks, k) in original block order
     if raw_v.any():
-        for i in np.nonzero(raw_v)[0]:
-            row = np.zeros(k, dtype=np.uint8)
-            o = int(stream_offs[i])
-            row[: block_lens[i]] = arch_u8[o : o + block_lens[i]]
-            flat[i] = row
+        # Vectorized stored-raw splice: gather every raw block's payload
+        # bytes in one bounded offset-table pass and mask-scatter them
+        # into their rows (no per-block Python at any block count).
+        ri = np.flatnonzero(raw_v)
+        rlens = block_lens[ri].astype(np.int64)
+        cat = _gather_slices(arch_u8, stream_offs[ri], rlens)
+        rows = np.zeros((ri.size, k), dtype=np.uint8)
+        rows[np.arange(k, dtype=np.int32)[None, :] < rlens[:, None]] = cat
+        flat[ri] = rows
     out = flat.reshape(-1)[: header.orig_len].tobytes()
     container.verify_crc(header, out)
     _mark("assemble")
@@ -607,9 +669,15 @@ def encode_auto(
 
                 ref = native.compress_bytes(data, Parameters.default())
                 # A coded stream starting with the container magic (~2^-32)
-                # would misroute in decode_auto; compact-magic collisions
-                # are safe (crc16 mismatch falls through to bare decode).
-                if not container.is_rxt_archive(ref):
+                # would misroute in decode_auto.  Compact-magic first
+                # bytes (~1/256 of streams) USUALLY fall through on a
+                # parse/crc16 failure, but a ~2^-16 crc16 collision would
+                # silently return wrong data — skip those streams too and
+                # keep the structural bound only where routing is exact
+                # (the compact candidates are within a few bytes anyway).
+                if not container.is_rxt_archive(ref) and not (
+                    len(ref) and ref[0] == container.COMPACT_MAGIC
+                ):
                     candidates.append(ref)
             except (ImportError, OSError, RuntimeError):
                 pass

@@ -93,6 +93,12 @@ def _timed_slope(step, fetch, n_bytes: int, repeats: int, vlog, name: str,
         times.append(t)
         if len(times) == repeats:
             break
+    if not times:
+        raise RuntimeError(
+            f"{name}: all {3 * repeats} slope measurements implausible "
+            f"(<= 0 or > {_SANITY_GBPS} GB/s) — timing methodology invalid "
+            "on this runtime (lazy sync / dispatch dedup?); see BASELINE.md"
+        )
     times.sort()
     vlog(f"{name}: slopes {', '.join(f'{x * 1e3:.1f}' for x in times)} ms/iter")
     return times[len(times) // 2], times
@@ -185,12 +191,17 @@ def run_device_benchmark(data: bytes, block_size: int = 0, iters: int = 10,
         order = np.argsort(bl_np, kind="stable")
         words_t = np.zeros((wn_pad, bp), dtype=np.uint32)
         lens_row = np.zeros((1, bp), dtype=np.int32)
-        for lane, i in enumerate(order):
-            if raw_v[i]:
-                continue
-            nwi = (bl_np[i] + 3) // 4
-            words_t[:nwi, lane] = w_np[i, :nwi]
-            lens_row[0, lane] = lens_np[i]
+        # Vectorized staging (no per-block Python): transpose the coded
+        # word rows into their sorted lanes, masking each lane's tail.
+        lanes = np.flatnonzero(~raw_v[order])
+        src = order[lanes]
+        nwi = ((bl_np[src] + 3) // 4).astype(np.int64)
+        wn_cp = min(wn_pad, w_np.shape[1])
+        words_t[:wn_cp, lanes] = np.where(
+            np.arange(wn_cp, dtype=np.int64)[:, None] < nwi[None, :],
+            w_np[src, :wn_cp].T, 0,
+        )
+        lens_row[0, lanes] = lens_np[src]
         # One extra zero GROUP of rows so the per-iteration mutation row
         # sits far past every lane's read-ahead: decode output is
         # bit-identical for every salt while the content is fresh.

@@ -89,6 +89,18 @@ EPOCH = 32  # symbols per inner loop
 SLAB = 32  # words per stream slab
 RING_SLABS = 4  # resident slabs per lane; refill every 2 epochs
 S_PAD = 264  # model rows incl. padding (258 live), multiple of 8
+# Two-level (bucketed) model geometry: the coarse row holds the cdf at
+# every bucket boundary, C[j] = cdf[j*BS] (33 live boundaries for the
+# 258-row model), padded to a sublane multiple with freq_max rows.  The
+# VPU-shaped analog of the reference's Fenwick hierarchy
+# (adaptive_tree.rs:63-136): the coarse sweep localizes the symbol to
+# one 8-row bucket so the full-width fine pass needs only ~5 vector ops
+# per row (fused previous-symbol update + bucket-window select) instead
+# of the flat sweep's ~9 (compare + count + flo/fhi reduces + update).
+BS = 8  # bucket size (rows per bucket) — one sublane tile
+NB = S_PAD // BS  # buckets (33)
+C_PAD = ((NB + 7) // 8) * 8  # coarse rows incl. padding (40)
+S_EXT = S_PAD + C_PAD  # extended init column: fine rows then coarse rows
 
 i32 = jnp.int32
 u32 = jnp.uint32
@@ -125,22 +137,30 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
     # the step time can be measured on hardware.  Never set in
     # production; roundtrip checks fail loudly when it is.
     probe = _os.environ.get("REDUX_TPU_DECODE_PROBE", "")
-    # Sweep selection (bit-identical semantics): "chunk" on hardware
-    # (small register footprint, measured fastest since the round-4
-    # reciprocal fix), "full" in interpret mode (vectorized numpy ops
-    # beat a 66-iteration rolled loop on CPU).  Env forces either.
+    # Sweep selection (bit-identical semantics): "bucket" on hardware
+    # (the two-level coarse/fine sweep — fewest vector ops per symbol),
+    # "full" in interpret mode (vectorized numpy ops beat a rolled loop
+    # on CPU).  "chunk" keeps the round-4 flat chunked sweep for A/B.
+    # Env forces any of the three.
     sweep_mode = _os.environ.get(
-        "REDUX_TPU_DECODE_SWEEP", "chunk" if unroll else "full"
+        "REDUX_TPU_DECODE_SWEEP", "bucket" if unroll else "full"
     )
+    bucket = sweep_mode == "bucket"
 
     def _make_phase(init_ref, lens_ref, words_ref, out_ref,
-                    cdf_s, ring_s, stage_s, nl_s, smin_s, smax_s):
+                    cdf_s, coarse_s, ring_s, stage_s, nl_s, smin_s, smax_s):
         """Closures for one phase's model/stream/interval state machine."""
         lens = lens_ref[:, :]
 
         def init():
             # All per-lane state is (G, LN); row-indexed: (rows, G, LN).
-            cdf_s[:, :, :] = init_ref[:, :, :] + jnp.zeros((S_PAD, G, LN), i32)
+            cdf_s[:, :, :] = init_ref[0:S_PAD, :, :] + jnp.zeros(
+                (S_PAD, G, LN), i32
+            )
+            if bucket:
+                coarse_s[:, :, :] = init_ref[S_PAD:S_EXT, :, :] + jnp.zeros(
+                    (C_PAD, G, LN), i32
+                )
             # Ring init: slabs 0..3 of every lane (uniform static copies).
             ring_s[:, :, :] = words_ref[0 : RING_SLABS * SLAB, :, :]
             nl_s[:, :] = jnp.full((G, LN), RING_SLABS, i32)  # next slab to load
@@ -185,8 +205,22 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
             val = jnp.where(need, (v1 << m2c) | v2, v1)
             return val, (cur, avail, wq)
 
+        rows_coarse = jax.lax.broadcasted_iota(i32, (C_PAD, G, LN), 0)
+        rows_bucket = jax.lax.broadcasted_iota(i32, (BS, G, LN), 0)
+
         def step(t, stage_row, carry):
-            low, high, z, cur, avail, wq, count_i = carry
+            # Bucket mode pipelines the model update: step t lands symbol
+            # t-1's suffix add during the same pass that selects step t's
+            # bucket window, so the model rows are loaded/stored once per
+            # step instead of once for the sweep plus once for the
+            # update.  (sym_prev, jb_prev, dv_prev) ride in the carry;
+            # dv_prev = 0 at t = 0 and on frozen/inactive steps makes the
+            # landed update a no-op.
+            if bucket:
+                (low, high, z, cur, avail, wq, count_i,
+                 sym_prev, jb_prev, dv_prev) = carry
+            else:
+                low, high, z, cur, avail, wq, count_i = carry
             active = t < lens
 
             cdf = cdf_s[:, :, :]
@@ -203,9 +237,49 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
             value = jnp.minimum(value.astype(i32), count_i - i32(1))
             if probe == "nosweep":
                 sym = value & i32(255)
+                jb = sym >> i32(3)
                 flo = value.astype(u32)
                 fhi = flo + u32(1)
                 delta_v = jnp.where(active, i32(delta), i32(0))
+            elif bucket:
+                # Two-level sweep.  Invariants (see init_cum_column):
+                # C[j] = cdf[j*BS] exactly, coarse/fine pads >= every
+                # live entry and never counted.  The coarse sweep yields
+                # the symbol's bucket jb (coarse count - 1: C[jb] <=
+                # value < C[jb+1], so lc >= 1 below) and, via the masked
+                # min over the not-counted rows, cdf[(jb+1)*BS] — the
+                # fhi value whenever the whole bucket counts (lc == BS).
+                upd = active & (count_i < i32(freq_max))
+                delta_v = jnp.where(upd, i32(delta), i32(0))
+                C = coarse_s[:, :, :]
+                newC = C + jnp.where(
+                    rows_coarse > jb_prev[None], dv_prev[None], i32(0)
+                )
+                if probe != "noupdate":
+                    coarse_s[:, :, :] = newC
+                bC = newC <= value[None]
+                jb = jnp.sum(bC.astype(i32), axis=0, dtype=i32) - i32(1)
+                cfhi = jnp.min(jnp.where(bC, i32(0x7FFFFFFF), newC), axis=0)
+                # Fused fine pass: land update t-1, one-hot bucket jb's
+                # window.  Every lane matches exactly one chunk (jb in
+                # [0, NB) for any in-range value), so the zero init never
+                # survives into w.
+                w = jnp.zeros((BS, G, LN), i32)
+                for c in range(NB):
+                    ch = cdf_s[c * BS : (c + 1) * BS, :, :]
+                    if probe != "noupdate":
+                        m = rows_bucket > (sym_prev - i32(c * BS))[None]
+                        ch = ch + jnp.where(m, dv_prev[None], i32(0))
+                        cdf_s[c * BS : (c + 1) * BS, :, :] = ch
+                    if probe != "noselect":
+                        w = jnp.where((jb == c)[None], ch, w)
+                bw = w <= value[None]
+                lc = jnp.sum(bw.astype(i32), axis=0, dtype=i32)
+                sym = jb * i32(BS) + lc - i32(1)
+                flo = jnp.max(jnp.where(bw, w, i32(0)), axis=0).astype(u32)
+                fhi = jnp.minimum(
+                    jnp.min(jnp.where(bw, i32(0x7FFFFFFF), w), axis=0), cfhi
+                ).astype(u32)
             elif sweep_mode != "full":
                 # DEFAULT sweep: rolled single pass with (CH, G, LN)
                 # chunks and carried accumulators — never materializes the
@@ -301,6 +375,11 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
             z = jnp.where(active, ((z << n.astype(u32)) | bits) & u32(cmax), z)
 
             stage_s[pl.ds(stage_row, 1), :, :] = jnp.where(active, sym, i32(0))[None]
+            if bucket:
+                # Inactive/frozen steps carry dv = 0, so garbage sym/jb
+                # on those lanes land a no-op next step.
+                return (low, high, z, cur, avail, wq, count_i,
+                        sym, jb, delta_v)
             return low, high, z, cur, avail, wq, count_i
 
         def store_epoch(e):
@@ -345,7 +424,7 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
             z0, (cur0, avail0, wq0) = read_bits(
                 (cur0, avail0, wq0), jnp.full((G, LN), cb, i32)
             )
-            return (
+            base = (
                 jnp.zeros((G, LN), u32),  # low  (codec.rs:30)
                 jnp.full((G, LN), cmax, u32),  # high (codec.rs:31)
                 z0,
@@ -354,12 +433,18 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
                 wq0,
                 cdf_s[S, :, :],  # running total (register copy of row S)
             )
+            if bucket:
+                # Pipelined-update state: dv_prev = 0 makes the first
+                # step's landed update a no-op.
+                zi = jnp.zeros((G, LN), i32)
+                return base + (zi, zi, zi)
+            return base
 
         return init, prime, step, store_epoch, refill_sweep
 
     def kernel(*refs):
         # Operand layout: init | lens x phases | words x phases |
-        # out x phases | (cdf, ring, stage, nl, smin, smax) x phases.
+        # out x phases | (cdf, coarse, ring, stage, nl, smin, smax) x phases.
         init_ref = refs[0]
         lens_refs = refs[1 : 1 + phases]
         words_refs = refs[1 + phases : 1 + 2 * phases]
@@ -368,7 +453,7 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
         ph = [
             _make_phase(
                 init_ref, lens_refs[p], words_refs[p], out_refs[p],
-                *sc[6 * p : 6 * (p + 1)]
+                *sc[7 * p : 7 * (p + 1)]
             )
             for p in range(phases)
         ]
@@ -444,7 +529,7 @@ def _decode_pallas_jit(words_t, lens, init_col, params: Parameters, k: int,
     l3 = (
         lens.reshape(t_pad, G, LN).transpose(1, 0, 2).reshape(G, t_pad * LN)
     )
-    i3 = init_col.reshape(S_PAD, 1, 1)
+    i3 = init_col.reshape(S_EXT, 1, 1)
     # Per-phase operands: contiguous tile halves of the minor dim (the
     # kernel takes separate refs per phase — no in-kernel lane slicing).
     lens_ops = [l3[:, p * h * LN : (p + 1) * h * LN] for p in range(phases)]
@@ -453,7 +538,7 @@ def _decode_pallas_jit(words_t, lens, init_col, params: Parameters, k: int,
         kernel,
         grid=(h,),
         in_specs=[
-            pl.BlockSpec((S_PAD, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_EXT, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ]
         + [
             pl.BlockSpec((G, LN), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -483,6 +568,7 @@ def _decode_pallas_jit(words_t, lens, init_col, params: Parameters, k: int,
             for _ in range(phases)
             for s in (
                 pltpu.VMEM((S_PAD, G, LN), i32),  # cdf
+                pltpu.VMEM((C_PAD, G, LN), i32),  # coarse bucket row
                 pltpu.VMEM((RING_SLABS * SLAB, G, LN), u32),  # stream ring
                 pltpu.VMEM((EPOCH, G, LN), i32),  # symbol stage
                 pltpu.VMEM((G, LN), i32),  # next-load slab index
@@ -511,12 +597,23 @@ def pad_geometry(wn: int, b: int):
 
 
 def init_cum_column(init_cum, params: Parameters):
-    """(S_PAD, 1) int32 kernel model-init input (freq_max padding rows)."""
-    return np.pad(
+    """(S_EXT, 1) int32 kernel model-init input.
+
+    Rows ``[0, S_PAD)``: the dense cumulative row, freq_max padding.
+    Rows ``[S_PAD, S_EXT)``: the coarse bucket-boundary row for the
+    two-level sweep, ``C[j] = cdf[j*BS]``, freq_max padding — the pads
+    receive every suffix update the live rows do (their row index always
+    exceeds any symbol's bucket), so they stay >= every live entry and
+    are never counted by a coarse sweep.
+    """
+    fine = np.pad(
         np.asarray(init_cum, dtype=np.int32),
         (0, S_PAD - int(np.asarray(init_cum).shape[0])),
         constant_values=np.int32(params.freq_max),
-    ).reshape(S_PAD, 1)
+    )
+    coarse = np.full(C_PAD, np.int32(params.freq_max), dtype=np.int32)
+    coarse[:NB] = fine[0 : NB * BS : BS]
+    return np.concatenate([fine, coarse]).reshape(S_EXT, 1)
 
 
 def decode_blocks_pallas_t(
@@ -530,7 +627,7 @@ def decode_blocks_pallas_t(
         :func:`pad_geometry`; build on host to skip the device
         transpose — byte-granular relayouts are slow on TPU).
       lens_row: ``(1, b_pad)`` int32 symbol counts (0 for pad lanes).
-      init_col: ``(S_PAD, 1)`` int32 from :func:`init_cum_column`.
+      init_col: ``(S_EXT, 1)`` int32 from :func:`init_cum_column`.
 
     Returns ``(k_pad, b_pad)`` uint8 — symbol-position-major; callers
     slice/transpose on host.

@@ -77,7 +77,7 @@ LN = 128  # hardware lane width (minor dim)
 EG = max(1, LANES // LN)  # sublane-packed lane groups (streaming kernel);
 # the per-lane coder/emission math runs on full (EG, 128) vregs instead of
 # 1/8-occupied (1, LANES) rows — same layout win as the decode kernel.
-from .pallas_decode import S_PAD  # shared model-row padding
+from .pallas_decode import S_EXT, S_PAD  # shared model-row geometry
 
 i32 = jnp.int32
 u32 = jnp.uint32
@@ -444,7 +444,9 @@ def _encode_kernel_m(params: Parameters, n_words: int, n_epochs: int, delta: int
 
         @pl.when(e == 0)
         def _init():
-            cdf_s[:, :] = init_ref[:, :] + jnp.zeros((S_PAD, LANES), i32)
+            # init col rows past S_PAD are the two-level sweep's coarse
+            # boundary row (pallas_decode.init_cum_column) — unused here.
+            cdf_s[:, :] = init_ref[0:S_PAD, :] + jnp.zeros((S_PAD, LANES), i32)
             iv_s[0, :] = jnp.zeros((LANES,), u32) + u32(params.code_min)
             iv_s[1, :] = jnp.zeros((LANES,), u32) + u32(cmax)
             iv_s[2, :] = jnp.zeros((LANES,), u32)
@@ -689,7 +691,7 @@ def _encode_pallas_m_jit(syms_t, lens, init_col, params: Parameters, n_words: in
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec((1, LANES), lambda i, e: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S_PAD, 1), lambda i, e: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_EXT, 1), lambda i, e: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((EPOCH, LANES), lambda i, e: (e, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -839,9 +841,23 @@ def _encode_ranked_fused_jit(syms, lens, init_cum, params, n_words, delta):
 
 
 def _build_init_col(init_cum, params):
-    """(S_PAD, 1, 1)-reshapable init column as a traced array."""
+    """(S_EXT, 1)-shaped init column as a traced array.
+
+    The traced twin of :func:`redux_tpu.ops.pallas_decode.init_cum_column`:
+    fine rows [0, S_PAD) then the coarse bucket-boundary row [S_PAD,
+    S_EXT) for the two-level sweep.
+    """
+    from .pallas_decode import BS as _BS
+    from .pallas_decode import C_PAD as _CP
+    from .pallas_decode import NB as _NB
+    from .pallas_decode import S_EXT as _SE
     from .pallas_decode import S_PAD as _SP
 
     ic = jnp.asarray(init_cum, jnp.int32)
     pad = jnp.full((_SP - ic.shape[0],), jnp.int32(params.freq_max))
-    return jnp.concatenate([ic, pad]).reshape(_SP, 1)
+    fine = jnp.concatenate([ic, pad])
+    coarse = jnp.concatenate([
+        fine[0 : _NB * _BS : _BS],
+        jnp.full((_CP - _NB,), jnp.int32(params.freq_max)),
+    ])
+    return jnp.concatenate([fine, coarse]).reshape(_SE, 1)

@@ -44,7 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..params import Parameters
-from .pallas_decode import S_PAD, init_cum_column
+from .pallas_decode import BS, C_PAD, NB, S_EXT, S_PAD, init_cum_column
 
 LANES = int(_os.environ.get("REDUX_TPU_MLANES",
                             _os.environ.get("REDUX_TPU_LANES", "1024")))
@@ -66,14 +66,28 @@ def _model_kernel(params: Parameters, k: int, delta: int, n_epochs: int,
     # and totals are closed forms of t (SMEM tfreeze), so the body needs
     # only `delta` and the shared geometry constants.
 
-    def kernel(lens_ref, init_ref, consts_ref, syms_ref, lo_ref, hi_ref, cdf_s):
+    # Sweep selection: "bucket" (two-level, fewest vector ops) on
+    # hardware, "chunk" (the flat round-4 sweep) for A/B and as the
+    # interpret-mode default.  Bit-identical outputs either way.
+    sweep_mode = _os.environ.get(
+        "REDUX_TPU_MODEL_SWEEP", "bucket" if unroll else "chunk"
+    )
+
+    def kernel(lens_ref, init_ref, consts_ref, syms_ref, lo_ref, hi_ref,
+               cdf_s, coarse_s):
         e = pl.program_id(1)
         lens = lens_ref[:, :]
         tfreeze = consts_ref[0, 0]
 
         @pl.when(e == 0)
         def _init():
-            cdf_s[:, :, :] = init_ref[:, :, :] + jnp.zeros((S_PAD, G, LN), i32)
+            cdf_s[:, :, :] = init_ref[0:S_PAD, :, :] + jnp.zeros(
+                (S_PAD, G, LN), i32
+            )
+            if sweep_mode == "bucket":
+                coarse_s[:, :, :] = init_ref[S_PAD:S_EXT, :, :] + jnp.zeros(
+                    (C_PAD, G, LN), i32
+                )
 
         CH = int(_os.environ.get("REDUX_TPU_MODEL_CH", "8"))
         assert S_PAD % CH == 0
@@ -92,6 +106,59 @@ def _model_kernel(params: Parameters, k: int, delta: int, n_epochs: int,
         # that skip one stage so its share can be slope-timed on
         # hardware (same methodology as the decode kernel's probes).
         probe = _os.environ.get("REDUX_TPU_MODEL_PROBE", "")
+
+        rows_c = jax.lax.broadcasted_iota(i32, (C_PAD, G, LN), 0)
+        rows_b = jax.lax.broadcasted_iota(i32, (BS, G, LN), 0)
+
+        def step_bucket(jj, _):
+            """Two-level step: encode KNOWS the symbol, so its bucket is
+            ``v >> 3`` for free (no coarse sweep at all) and lo/hi are
+            one-hot reads of the selected bucket window — the coarse
+            boundary row covers the ``v % BS == BS-1`` case where
+            ``cdf[v+1]`` is the next bucket's first row.  One fused pass
+            over the model rows does the window select (pre-update
+            state — the position's values precede its own adaptation,
+            adaptive_linear.rs:33-39) and the +delta suffix update."""
+            t0 = e * EPOCH + jj
+            v = syms_ref[pl.ds(jj, 1), :, :][0]
+            upd = (t0 < lens) & (t0 < tfreeze)
+            dv = jnp.where(upd, i32(delta), i32(0))
+            jb = v >> i32(3)
+            vl = v & i32(BS - 1)
+            C = coarse_s[:, :, :]
+            if probe != "noextract":
+                cnext = jnp.sum(
+                    jnp.where(rows_c == (jb + i32(1))[None], C, i32(0)),
+                    axis=0, dtype=i32,
+                )
+            if probe != "noupdate":
+                coarse_s[:, :, :] = C + jnp.where(
+                    rows_c > jb[None], dv[None], i32(0)
+                )
+            w = jnp.zeros((BS, G, LN), i32)
+            for c in range(NB):
+                ch = cdf_s[c * BS : (c + 1) * BS, :, :]
+                if probe != "noextract":
+                    w = jnp.where((jb == c)[None], ch, w)
+                if probe != "noupdate":
+                    m = rows_b > (v - i32(c * BS))[None]
+                    cdf_s[c * BS : (c + 1) * BS, :, :] = ch + jnp.where(
+                        m, dv[None], i32(0)
+                    )
+            if probe == "noextract":
+                lo, hi = v, v + i32(1)  # probe-only garbage
+            else:
+                lo = jnp.sum(
+                    jnp.where(rows_b == vl[None], w, i32(0)), axis=0, dtype=i32
+                )
+                hi_in = jnp.sum(
+                    jnp.where(rows_b == (vl + i32(1))[None], w, i32(0)),
+                    axis=0, dtype=i32,
+                )
+                hi = jnp.where(vl == i32(BS - 1), cnext, hi_in)
+            lo_ref[pl.ds(jj, 1), :, :] = lo[None]
+            hi_ref[pl.ds(jj, 1), :, :] = hi[None]
+            return 0
 
         def step(jj, _):
             t0 = e * EPOCH + jj * U
@@ -140,11 +207,13 @@ def _model_kernel(params: Parameters, k: int, delta: int, n_epochs: int,
                 hi_ref[pl.ds(jj * U + u, 1), :, :] = acc_hi[u][None]
             return 0
 
+        body = step_bucket if sweep_mode == "bucket" else step
+        n_steps = EPOCH if sweep_mode == "bucket" else EPOCH // U
         if unroll:
-            for jj in range(EPOCH // U):
-                step(jj, 0)
+            for jj in range(n_steps):
+                body(jj, 0)
         else:
-            jax.lax.fori_loop(0, EPOCH // U, step, 0)
+            jax.lax.fori_loop(0, n_steps, body, 0)
 
     return kernel
 
@@ -168,13 +237,13 @@ def _model_lohi_jit(syms_t, lens, init_col, consts, params: Parameters,
         .reshape(k_pad, G, n_tiles * LN)
     )
     l3 = lens.reshape(n_tiles, G, LN).transpose(1, 0, 2).reshape(G, n_tiles * LN)
-    i3 = init_col.reshape(S_PAD, 1, 1)
+    i3 = init_col.reshape(S_EXT, 1, 1)
     lo, hi = pl.pallas_call(
         kernel,
         grid=(n_tiles, n_epochs),
         in_specs=[
             pl.BlockSpec((G, LN), lambda i, e: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S_PAD, 1, 1), lambda i, e: (0, 0, 0),
+            pl.BlockSpec((S_EXT, 1, 1), lambda i, e: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i, e: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((EPOCH, G, LN), lambda i, e: (e, 0, i),
@@ -191,7 +260,10 @@ def _model_lohi_jit(syms_t, lens, init_col, consts, params: Parameters,
             jax.ShapeDtypeStruct((k_pad, G, n_tiles * LN), i32),
             jax.ShapeDtypeStruct((k_pad, G, n_tiles * LN), i32),
         ),
-        scratch_shapes=[pltpu.VMEM((S_PAD, G, LN), i32)],
+        scratch_shapes=[
+            pltpu.VMEM((S_PAD, G, LN), i32),  # cdf
+            pltpu.VMEM((C_PAD, G, LN), i32),  # coarse bucket row
+        ],
     )(l3, i3, consts, s3)
 
     def back(x):

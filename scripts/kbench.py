@@ -211,12 +211,15 @@ def main():
     order = np.argsort(bl_np, kind="stable")
     words_t = np.zeros((wn_pad, bp), dtype=np.uint32)
     lens_row = np.zeros((1, bp), dtype=np.int32)
-    for lane, i in enumerate(order):
-        if raw[i]:
-            continue
-        nwi = (bl_np[i] + 3) // 4
-        words_t[:nwi, lane] = w_np[i, :nwi]
-        lens_row[0, lane] = lens_np[i]
+    lanes = np.flatnonzero(~raw[order])
+    src = order[lanes]
+    nwi = ((bl_np[src] + 3) // 4).astype(np.int64)
+    wn_cp = min(wn_pad, w_np.shape[1])
+    words_t[:wn_cp, lanes] = np.where(
+        np.arange(wn_cp, dtype=np.int64)[:, None] < nwi[None, :],
+        w_np[src, :wn_cp].T, 0,
+    )
+    lens_row[0, lanes] = lens_np[src]
     wn_mut = wn_pad + 128  # mutation row far past every lane's read-ahead
     words_t = np.pad(words_t, ((0, 128), (0, 0)))
     wt = jax.device_put(jnp.asarray(words_t))

@@ -122,6 +122,29 @@ def test_api_pallas_branch_roundtrip(monkeypatch):
     assert api.decode(arch) == data
 
 
+def test_api_pallas_decode_lane_chunking(monkeypatch):
+    """Decode-side lane chunking (large-archive path) on the interpreter.
+
+    Forces the single-device Pallas branch with the minimum 128-lane
+    chunk so a ~300-block archive decodes across 3 kernel dispatches:
+    per-chunk word capacities, the sorted-lane slab boundaries, the
+    all-raw slab skip, and the chunk reassembly all run.
+    """
+    monkeypatch.setenv("REDUX_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("REDUX_TPU_DEC_CHUNK_MB", "0")  # floor: 128 lanes
+    monkeypatch.setattr(api, "_dp_mesh", lambda: None)
+    rng = np.random.default_rng(23)
+    data = (
+        (corpus_file("calgary", "paper5").read_bytes() * 10)[:100_000]
+        + rng.integers(0, 256, 30_000, dtype=np.uint8).tobytes()  # raw mix
+        + b"tail" * 4000
+    )
+    arch = api.encode(data, block_size=512)
+    header, _ = container.parse_archive(arch)
+    assert header.n_blocks > 256 and any(header.block_raw)
+    assert api.decode(arch) == data
+
+
 def test_use_pallas_on_tpu_backend(monkeypatch):
     """Regression: _use_pallas must return True on a non-cpu backend.
 

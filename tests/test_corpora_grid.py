@@ -64,9 +64,22 @@ def _run_corpus(corpus, params, block_size=32768, delta=8):
         t0 = time.perf_counter()
         arch = api.encode(data, params=params, block_size=block_size, delta=delta)
         t_enc += time.perf_counter() - t0
-        # container length consistency (corpora.rs:40-41's analog)
+        # Container length consistency (corpora.rs:40-41's analog: the
+        # returned byte counts must equal the actual stream lengths).
+        # Header bytes + the per-block payload lengths must tile the
+        # archive exactly, and the offset table must agree end-to-end —
+        # this FAILS if lens/offsets ever drift from the real payload.
         header, streams = container.parse_archive(arch)
-        assert sum(len(s) for s in streams) + (len(arch) - sum(len(s) for s in streams)) == len(arch)
+        assert [len(s) for s in streams] == header.block_byte_lens
+        head_bytes = (
+            container.HEADER_BYTES
+            + 4 * header.n_blocks
+            + (512 if header.prior_extra is not None else 0)
+        )
+        assert head_bytes + sum(header.block_byte_lens) == len(arch)
+        if header.n_blocks:
+            assert header.stream_offs[0] == head_bytes
+            assert header.stream_offs[-1] + header.block_byte_lens[-1] == len(arch)
         assert header.orig_len == len(data)
         t0 = time.perf_counter()
         out = api.decode(arch)
