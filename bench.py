@@ -86,6 +86,16 @@ def main() -> None:
         f"host<->device tunnel {result['tunnel_gbps']:.3f} GB/s (e2e bound)",
         file=sys.stderr,
     )
+    rl = result["roofline"]
+    print(
+        f"roofline (op-model vs assumed {rl['vpu_peak_tops_assumed']:.1f} "
+        f"Tops/s VPU peak): decode kernel "
+        f"{rl['decode_kernel']['achieved_teops']} Teops/s "
+        f"({rl['decode_kernel']['pct_of_vpu_peak']}%), encode pipeline "
+        f"{rl['encode_pipeline']['achieved_teops']} Teops/s "
+        f"({rl['encode_pipeline']['pct_of_vpu_peak']}%)",
+        file=sys.stderr,
+    )
     print(json.dumps({
         "metric": "calgary+large aggregate encode+decode throughput (device-resident, 1 chip)",
         "value": round(value, 4),

@@ -292,8 +292,43 @@ def run_device_benchmark(data: bytes, block_size: int = 0, iters: int = 10,
     del up
 
     n = len(data)
+
+    # Roofline: achieved VPU element-op throughput per stage vs peak, so
+    # the "the sweep runs at VPU speed-of-light for the formulation"
+    # claim is a measured, falsifiable number instead of prose
+    # (BASELINE.md).  Op counts are the per-symbol vector-op model of
+    # the shipped two-level kernels (ops/pallas_decode.py bucket sweep):
+    #
+    #   decode/symbol: fused fine pass ~5 ops x S_PAD rows (cmp, select
+    #     dv, add, store, window select) + coarse pass ~7 x C_PAD +
+    #     fine window sweep ~7 x BS + interval/renorm/read chain ~120;
+    #   encode/symbol: model kernel ~4 x S_PAD + coarse/extract ~90 +
+    #     streaming coder ~150 (piece build, 96-bit append, dumps).
+    #
+    # Peak: 8x128-lane VPU, 4 ALU ports, ~1.74 GHz v5e clock = ~7.1e12
+    # elementary int32 ops/s (override with REDUX_TPU_VPU_PEAK_TOPS).
+    import os as _os
+
+    peak = float(_os.environ.get("REDUX_TPU_VPU_PEAK_TOPS", "7.1")) * 1e12
+    _S_PAD, _C_PAD, _BS = 264, 40, 8
+    dec_ops = 5 * _S_PAD + 7 * _C_PAD + 7 * _BS + 120
+    enc_ops = 4 * _S_PAD + 90 + 150
+    roofline = {
+        "vpu_peak_tops_assumed": peak / 1e12,
+        "decode_kernel": {
+            "ops_per_byte_model": dec_ops,
+            "achieved_teops": round(n / t_dec * dec_ops / 1e12, 3),
+            "pct_of_vpu_peak": round(100 * n / t_dec * dec_ops / peak, 1),
+        },
+        "encode_pipeline": {
+            "ops_per_byte_model": enc_ops,
+            "achieved_teops": round(n / t_enc * enc_ops / 1e12, 3),
+            "pct_of_vpu_peak": round(100 * n / t_enc * enc_ops / peak, 1),
+        },
+    }
     return {
         "tunnel_gbps": tunnel_gbps,
+        "roofline": roofline,
         "encode_gbps": n / t_enc / 1e9,
         "decode_gbps": n / t_dec / 1e9,
         "aggregate_gbps": 2 * n / (t_enc + t_dec) / 1e9,
