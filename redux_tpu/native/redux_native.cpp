@@ -435,23 +435,40 @@ int64_t rdx_decompress(const uint8_t* in, int64_t n, uint8_t* out, int64_t cap,
                        int sb, int fb, int cb, const uint16_t* extra,
                        int64_t nsyms) {
   Params p;
-  if (!Params::make(sb, fb, cb, &p) || sb != 8) return -1;
+  if (!Params::make(sb, fb, cb, &p) || sb > 16) return -1;
   BitReader r(in, static_cast<size_t>(n));
   FenwickModel m(p);
   if (extra) m.init_prior(extra);
   Codec c(p);
 
-  int64_t written = 0;
+  // For symbol widths other than 8 the output is written sb bits per
+  // symbol MSB-first, dropping a partial trailing byte — exactly the
+  // reference's write_bits(symbol, symbol_bits) with no final flush
+  // (codec.rs:164-176, lib.rs:113-120).
+  uint32_t acc = 0;
+  int nbits = 0;
+  int64_t written = 0, symbols = 0;
   for (;;) {
-    if (nsyms >= 0 && written >= nsyms) break;
+    if (nsyms >= 0 && symbols >= nsyms) break;
     int64_t s = c.decompress_symbol(m, r);
     if (s < 0) return -1;
     if (s == static_cast<int64_t>(p.symbol_eof)) {
       if (nsyms >= 0) return -1;  // hit EOF before the promised length
       break;
     }
-    if (written >= cap) return -2;
-    out[written++] = static_cast<uint8_t>(s);
+    symbols++;
+    if (sb == 8) {
+      if (written >= cap) return -2;
+      out[written++] = static_cast<uint8_t>(s);
+      continue;
+    }
+    acc = (acc << sb) | static_cast<uint32_t>(s);
+    nbits += sb;
+    while (nbits >= 8) {
+      if (written >= cap) return -2;
+      out[written++] = static_cast<uint8_t>((acc >> (nbits - 8)) & 0xFF);
+      nbits -= 8;
+    }
   }
   return written;
 }
