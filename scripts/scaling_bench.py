@@ -4,9 +4,13 @@ Weak scaling: fixed blocks-per-device, mesh sizes 1..8 (virtual CPU
 devices; real pods swap the mesh for TPU chips/hosts with the identical
 shard_map program).  Efficiency(N) = throughput(N) / (N * throughput(1)).
 
-Round-4 artifact upgrades (the round-3 artifact was thin evidence):
+Round-5 artifact upgrades: the multiprocess axis (the only section
+presented as scaling evidence) runs >= 5 trials at >= 8 MB/host and
+reports the median/min/max of the trial efficiencies; the in-process
+virtual-mesh sections moved under an explicit "not_scaling_evidence"
+key.  Round-4 upgrades kept:
 
-* >= 3 MB/device (16x round 3) so the measurement amortizes dispatch
+* >= 3 MB/device virtual sections so the measurement amortizes dispatch
   and scheduler noise into real codec work;
 * per-phase times (rank precompute / encode / decode / output gather);
 * the sharded PALLAS kernel path measured alongside the XLA scan path
@@ -191,7 +195,7 @@ def run_pallas(n_dev, blocks_per_dev=1536, k=2048, delta=16):
             "gbps": 2 * len(data) / (t_enc + t_dec) / 1e9, "verified": bool(ok)}
 
 
-def run_multiprocess(n_procs, bytes_per_host=3 << 20):
+def run_multiprocess(n_procs, bytes_per_host=8 << 20):
     """TRUE weak scaling: one OS process per host, pinned to its own
     physical core, own XLA runtime, jax.distributed barriers — the
     actual multi-host execution model (the virtual-device mesh times
@@ -251,10 +255,12 @@ def main():
             )
         return results
 
-    # Median of 3 trials: this is a shared VM with visible steal-time
-    # outliers (one trial measured a 4x encode excursion at N=2).
+    # >= 5 trials at >= 8 MB/host (round-5 evidence hardening): this is a
+    # shared VM with visible steal-time outliers, so the artifact reports
+    # the full trial distribution (median/min/max), not one number.
+    n_trials = int(os.environ.get("SCALING_TRIALS", "5"))
     trials = []
-    for _ in range(3):
+    for _ in range(n_trials):
         pair = [run_multiprocess(n) for n in (1, 2) if n <= ncores]
         for r in pair:
             r["efficiency"] = (pair[0]["t_enc"] + pair[0]["t_dec"]) / (
@@ -263,43 +269,43 @@ def main():
         trials.append(pair)
     trials.sort(key=lambda pr: pr[-1]["efficiency"])
     mp = trials[len(trials) // 2]
-    mp_all = [round(pr[-1]["efficiency"], 3) for pr in trials]
+    mp_all = sorted(round(pr[-1]["efficiency"], 3) for pr in trials)
     # Virtual sizes beyond the 2 physical cores only measure runtime
     # time-sharing (recorded in round 3); keep the physical range.
     results = sweep(run, (1, 2))
     pallas_results = sweep(run_pallas, (1, 2))
     out = {
-        "mode": "weak-scaling; PRIMARY: real multi-process jax.distributed "
-                "(one pinned core per host process, 3 MB/host); secondary: "
-                "virtual CPU mesh (shard_map dp axis)",
+        "mode": "weak-scaling; the ONLY scaling evidence here is "
+                "multiprocess_*: real multi-process jax.distributed, one "
+                "pinned core per host process, %d MB/host, %d trials"
+                % ((8 << 20) >> 20, n_trials),
         "note": "host has %d physical cores.  multiprocess_results is the "
                 "honest axis: independent OS processes (one per core, own XLA "
                 "runtime, jax.distributed barriers + ordered gather) — the "
                 "real multi-host execution model; efficiency = t(1)/t(N) at "
-                "fixed bytes/host.  The virtual-device sections share ONE "
-                "runtime: N>cores time-shares, and even N=2 pays in-process "
-                "scheduler and cache contention that real pods do not — "
-                "recorded for phase-level data, not as scaling evidence.  "
-                "Real pods swap the mesh for TPU chips/hosts; identical "
-                "shard_map program." % ncores,
+                "fixed bytes/host.  Real pods swap the mesh for TPU "
+                "chips/hosts; identical shard_map program." % ncores,
         "physical_cores": ncores,
-        "bytes_per_device": results[0]["bytes"] // results[0]["n_dev"],
         "multiprocess_results": mp,
         "multiprocess_efficiency_n2": mp[-1]["efficiency"] if len(mp) > 1 else None,
         "multiprocess_trial_efficiencies": mp_all,
-        "results": results,
-        "pallas_interpret_results": pallas_results,
-        "min_efficiency_n_ge_2": min(r["efficiency"] for r in results[1:]),
-        "min_efficiency_vs_cores_n_ge_2": min(
-            r["efficiency_vs_cores"] for r in results[1:]
-        ),
-        "pallas_efficiency_n2": pallas_results[-1]["efficiency"]
-        if len(pallas_results) > 1
-        else None,
+        "multiprocess_efficiency_median": mp_all[len(mp_all) // 2],
+        "multiprocess_efficiency_min": mp_all[0],
+        "multiprocess_efficiency_max": mp_all[-1],
+        # Phase-level data from the in-process virtual mesh — NOT scaling
+        # evidence: all N share one runtime and even N=2 pays in-process
+        # scheduler + cache contention that real pods do not.
+        "not_scaling_evidence": {
+            "why": "virtual CPU mesh shares one runtime/scheduler across "
+                   "shards; kept only for per-phase composition data",
+            "bytes_per_device": results[0]["bytes"] // results[0]["n_dev"],
+            "results": results,
+            "pallas_interpret_results": pallas_results,
+        },
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SCALING_r4.json",
+        "SCALING_r5.json",
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

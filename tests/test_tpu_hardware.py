@@ -114,8 +114,18 @@ t0 = time.time()
 out = api.decode(arc)
 t_dec = time.time() - t0
 assert out == data
+stats = {}
+try:
+    stats = jax.local_devices()[0].memory_stats() or {}
+except Exception:
+    pass
+peak = stats.get("peak_bytes_in_use", 0)
 print(f"large-input OK: {len(data)} -> {len(arc)} bytes, "
-      f"enc {len(data)/t_enc/1e9:.3f} GB/s e2e, dec {len(data)/t_dec/1e9:.3f} GB/s e2e")
+      f"enc {len(data)/t_enc/1e9:.3f} GB/s e2e, dec {len(data)/t_dec/1e9:.3f} GB/s e2e, "
+      f"peak HBM {peak/1e9:.2f} GB" if peak else
+      f"large-input OK: {len(data)} -> {len(arc)} bytes, "
+      f"enc {len(data)/t_enc/1e9:.3f} GB/s e2e, dec {len(data)/t_dec/1e9:.3f} GB/s e2e, "
+      f"peak HBM unavailable on this backend")
 """
 
 
@@ -124,10 +134,12 @@ print(f"large-input OK: {len(data)} -> {len(arc)} bytes, "
     not _hardware_available(),
     reason="no accelerator backend configured (REDUX_TPU_HW_TESTS=1 forces)",
 )
-def test_large_input_chunked_encode_roundtrip():
-    """>= 256 MB through api.encode/decode on hardware: exercises the
-    lane-chunked encode (REDUX_TPU_ENC_CHUNK_MB=64 forces 4+ chunks so
-    the rank planes stay bounded) end-to-end with bit-exact round-trip.
+def test_large_input_chunked_encode_decode_roundtrip():
+    """>= 256 MB through api.encode AND api.decode on hardware: both
+    lane-chunked paths forced to 4+ chunks (REDUX_TPU_ENC_CHUNK_MB /
+    REDUX_TPU_DEC_CHUNK_MB = 64) so the rank planes, the decode staging
+    matrix, and the output planes all stay bounded; bit-exact
+    round-trip; peak HBM printed when the backend reports it.
     BASELINE.json configs[3] (enwik-scale) stand-in — the mount's large
     blob (E.coli) is stripped."""
     env = dict(os.environ)
@@ -135,6 +147,7 @@ def test_large_input_chunked_encode_roundtrip():
     env.pop("REDUX_TPU_LANES", None)
     env.pop("REDUX_TPU_DLANES", None)
     env["REDUX_TPU_ENC_CHUNK_MB"] = "64"
+    env["REDUX_TPU_DEC_CHUNK_MB"] = "64"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run(
