@@ -84,22 +84,83 @@ u32 = jnp.uint32
 
 
 def _encode_kernel(params: Parameters, k: int, n_words: int, n_epochs: int,
-                   adapt_delta: int = 1, unroll: bool = True):
+                   adapt_delta: int = 1, unroll: bool = True,
+                   model_inline: bool = False):
+    """Streaming coder kernel; ``model_inline`` fuses the two-level
+    model-values sweep (ops/pallas_model.py semantics) into the same
+    program: per position the bucket window select yields (flo, fhi)
+    directly in registers — no (k_pad, b) lo/hi HBM planes at all — and
+    the model sweep of one position overlaps the coder's serial
+    interval/emission chain of its neighbors in the unrolled schedule."""
     cb = params.code_bits
     cmax = params.code_max
     half = params.code_half
     quarter = params.code_one_fourth
 
-    def kernel(lens_ref, lo_ref, hi_ref, consts_ref, out_ref, blen_ref, ovf_ref,
-               st_s, ring_s, nw_s, nd_s, acc_s, iv_s):
+    from .pallas_decode import BS, C_PAD, NB, S_EXT  # model geometry
+
+    def kernel(*refs):
+        if model_inline:
+            (lens_ref, syms_ref, init_ref, consts_ref, out_ref, blen_ref,
+             ovf_ref, st_s, ring_s, nw_s, nd_s, acc_s, iv_s, cdf_s,
+             coarse_s) = refs
+        else:
+            (lens_ref, lo_ref, hi_ref, consts_ref, out_ref, blen_ref,
+             ovf_ref, st_s, ring_s, nw_s, nd_s, acc_s, iv_s) = refs
         e = pl.program_id(1)
         lens = lens_ref[:, :]  # (EG, LN)
         init_total = consts_ref[0, 0]  # SMEM scalars: model totals are a
         tfreeze = consts_ref[0, 1]  # closed form of t (ranks.py), computed
         # in-kernel instead of streaming a third (B, K) plane from HBM
+        if model_inline:
+            rows_c = jax.lax.broadcasted_iota(i32, (C_PAD, EG, LN), 0)
+            rows_b = jax.lax.broadcasted_iota(i32, (BS, EG, LN), 0)
+
+        def model_lohi(ii, t, active):
+            """One two-level model step (pallas_model.step_bucket
+            semantics): extract pre-update (flo, fhi) for position ii's
+            symbol, then land its +delta suffix update on the fine and
+            coarse rows.  The freeze gate and pad lanes (lens = -1) fall
+            out of the same (t < lens) & (t < tfreeze) test."""
+            v = syms_ref[pl.ds(ii, 1), :, :][0]
+            dv = jnp.where(active & (t < tfreeze), i32(adapt_delta), i32(0))
+            jb = v >> i32(3)
+            vl = v & i32(BS - 1)
+            C = coarse_s[:, :, :]
+            cnext = jnp.sum(
+                jnp.where(rows_c == (jb + i32(1))[None], C, i32(0)),
+                axis=0, dtype=i32,
+            )
+            coarse_s[:, :, :] = C + jnp.where(
+                rows_c > jb[None], dv[None], i32(0)
+            )
+            w = jnp.zeros((BS, EG, LN), i32)
+            for c in range(NB):
+                ch = cdf_s[c * BS : (c + 1) * BS, :, :]
+                w = jnp.where((jb == c)[None], ch, w)
+                m = rows_b > (v - i32(c * BS))[None]
+                cdf_s[c * BS : (c + 1) * BS, :, :] = ch + jnp.where(
+                    m, dv[None], i32(0)
+                )
+            flo = jnp.sum(
+                jnp.where(rows_b == vl[None], w, i32(0)), axis=0, dtype=i32
+            )
+            fhi_in = jnp.sum(
+                jnp.where(rows_b == (vl + i32(1))[None], w, i32(0)),
+                axis=0, dtype=i32,
+            )
+            fhi = jnp.where(vl == i32(BS - 1), cnext, fhi_in)
+            return flo.astype(u32), fhi.astype(u32)
 
         @pl.when(e == 0)
         def _init():
+            if model_inline:
+                cdf_s[:, :, :] = init_ref[0:S_PAD, :, :] + jnp.zeros(
+                    (S_PAD, EG, LN), i32
+                )
+                coarse_s[:, :, :] = init_ref[S_PAD:S_EXT, :, :] + jnp.zeros(
+                    (C_PAD, EG, LN), i32
+                )
             # iv rows: 0 low, 1 high, 2 pending, 3 ovf flag.
             iv_s[0, :, :] = jnp.zeros((EG, LN), u32) + u32(params.code_min)
             iv_s[1, :, :] = jnp.zeros((EG, LN), u32) + u32(cmax)
@@ -119,8 +180,11 @@ def _encode_kernel(params: Parameters, k: int, n_words: int, n_epochs: int,
             active = t < lens
             is_term = t == lens
 
-            flo = lo_ref[pl.ds(ii, 1), :, :][0].astype(u32)
-            fhi = hi_ref[pl.ds(ii, 1), :, :][0].astype(u32)
+            if model_inline:
+                flo, fhi = model_lohi(ii, t, active)
+            else:
+                flo = lo_ref[pl.ds(ii, 1), :, :][0].astype(u32)
+                fhi = hi_ref[pl.ds(ii, 1), :, :][0].astype(u32)
             # tot_t = init_total + delta * min(t, lens, t_freeze)
             # (ranks.precompute_encode_model's closed form; pad lanes have
             # lens = -1, giving init_total - delta >= 2 — no div-by-zero).
@@ -365,6 +429,77 @@ def _encode_pallas_jit(lo_t, hi_t, consts, lens, params: Parameters, n_words: in
         ],
     )(l3, to3(lo_t), to3(hi_t), consts)
     # Back to the caller's 2-D lane order.
+    words = (
+        out.reshape(nw_pad, EG, n_tiles, LN).transpose(0, 2, 1, 3).reshape(nw_pad, b)
+    )
+    blen2 = blen.reshape(EG, n_tiles, LN).transpose(1, 0, 2).reshape(1, b)
+    ovf2 = ovf.reshape(EG, n_tiles, LN).transpose(1, 0, 2).reshape(1, b)
+    return words, blen2, ovf2
+
+
+@functools.partial(jax.jit, static_argnames=("params", "n_words", "delta"))
+def _encode_fused_model_jit(syms_t, lens, init_col, consts, params: Parameters,
+                            n_words: int, delta: int = 1):
+    """ONE kernel for the whole encode: model sweep + streaming coder.
+
+    Same contract as :func:`_encode_pallas_jit` but taking the (k_pad, b)
+    SYMBOL plane instead of precomputed lo/hi planes — the two-level
+    model sweep runs inline (``_encode_kernel(model_inline=True)``), so
+    the ~8 B/B lo/hi HBM planes never exist and the model sweep of one
+    position overlaps the coder chain of its neighbors.
+    """
+    k_pad, b = syms_t.shape
+    n_tiles = b // LANES
+    n_epochs = k_pad // EPOCH
+    nw_pad = ((n_words + SLAB - 1) // SLAB) * SLAB
+    interp = jax.default_backend() == "cpu"
+    kernel = _encode_kernel(params, k_pad, nw_pad, n_epochs, adapt_delta=delta,
+                            unroll=not interp, model_inline=True)
+
+    def to3(x):
+        return (
+            x.reshape(k_pad, n_tiles, EG, LN)
+            .transpose(0, 2, 1, 3)
+            .reshape(k_pad, EG, n_tiles * LN)
+        )
+
+    l3 = lens.reshape(n_tiles, EG, LN).transpose(1, 0, 2).reshape(EG, n_tiles * LN)
+    i3 = init_col.reshape(S_EXT, 1, 1)
+    out, blen, ovf = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_epochs),
+        interpret=interp,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec((EG, LN), lambda i, e: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((EPOCH, EG, LN), lambda i, e: (e, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_EXT, 1, 1), lambda i, e: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i, e: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((nw_pad, EG, LN), lambda i, e: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EG, LN), lambda i, e: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((EG, LN), lambda i, e: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nw_pad, EG, b // EG), jnp.uint32),
+            jax.ShapeDtypeStruct((EG, b // EG), jnp.int32),
+            jax.ShapeDtypeStruct((EG, b // EG), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((192, EG, LN), u32),  # stage
+            pltpu.VMEM((RING, EG, LN), u32),  # ring
+            pltpu.VMEM((EG, LN), i32),  # nw
+            pltpu.VMEM((EG, LN), i32),  # nd
+            pltpu.VMEM((4, EG, LN), u32),  # acc
+            pltpu.VMEM((4, EG, LN), u32),  # low, high, pending, ovf
+            pltpu.VMEM((S_PAD, EG, LN), i32),  # model cdf rows
+            pltpu.VMEM(((S_EXT - S_PAD), EG, LN), i32),  # coarse bucket row
+        ],
+    )(l3, to3(syms_t), i3, consts)
     words = (
         out.reshape(nw_pad, EG, n_tiles, LN).transpose(0, 2, 1, 3).reshape(nw_pad, b)
     )
@@ -828,15 +963,30 @@ def _encode_ranked_fused_jit(syms, lens, init_cum, params, n_words, delta):
         // jnp.int32(delta),
         0,
     )
-    lens_model = jnp.maximum(lens_p, 0)  # pad lanes: -1 -> 0 (no work)
-    lo_t, hi_t = _model_lohi_jit(
-        syms_t, lens_model, icol, tf.reshape(1, 1), params, k, int(delta)
-    )
     consts = jnp.stack([init_total, tf]).reshape(1, 2)
     nw_pad = ((n_words + SLAB - 1) // SLAB) * SLAB
-    words_t, blen, ovf = _encode_pallas_jit(
-        lo_t, hi_t, consts, lens_p, params, nw_pad, int(delta)
-    )
+    import os as _os
+
+    if _os.environ.get("REDUX_TPU_ENC_FUSED", "0") != "0":
+        # Single fused kernel: model sweep inline with the coder — no
+        # lo/hi HBM planes.  Slope-timed NEGATIVE result on v5e: 4.0 ms
+        # vs the two-kernel 3.2-4.1 ms band (no overlap materializes —
+        # the coder chain consumes the same position's flo/fhi, so the
+        # schedule serializes, and the big fused body adds register
+        # pressure).  Kept env-tunable with differential coverage; its
+        # ~8 B/B HBM saving could matter on memory-tight configs.
+        words_t, blen, ovf = _encode_fused_model_jit(
+            syms_t, lens_p, icol, consts, params, nw_pad, int(delta)
+        )
+    else:
+        # Two-kernel pipeline (the production path).
+        lens_model = jnp.maximum(lens_p, 0)  # pad lanes: -1 -> 0 (no work)
+        lo_t, hi_t = _model_lohi_jit(
+            syms_t, lens_model, icol, tf.reshape(1, 1), params, k, int(delta)
+        )
+        words_t, blen, ovf = _encode_pallas_jit(
+            lo_t, hi_t, consts, lens_p, params, nw_pad, int(delta)
+        )
     return words_t.T[:b, :n_words], blen[0, :b], ovf[0, :b].astype(bool)
 
 

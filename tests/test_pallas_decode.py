@@ -118,6 +118,37 @@ def test_divergent_rates_slab_refill():
     _roundtrip(blocks, params, ic, delta=16, k=k)
 
 
+def test_bucket_sweep_matches_oracle(monkeypatch):
+    """The production TWO-LEVEL sweep (hardware default) on the
+    interpreter: coarse row maintenance, the fused update-landing /
+    window-select pass, and the coarse-min fhi fallback (lc == BS) all
+    run — including a freeze-overshoot config (delta * k past freq_max)
+    and degenerate single-symbol blocks whose bucket never changes.
+    The distinct k keeps the jit cache from reusing a full-sweep
+    compile."""
+    monkeypatch.setenv("REDUX_TPU_DECODE_SWEEP", "bucket")
+    params = Parameters(8, 20, 22)
+    rng = np.random.default_rng(7)
+    k = 160
+    data = (b"aaabbbcccddd" * 100)[:k]
+    hist = np.bincount(np.frombuffer(data, np.uint8), minlength=256)
+    from redux_tpu.models.dense import quantize_prior
+
+    extra = quantize_prior(hist, params, 4096)
+    full = np.zeros(params.symbol_count, dtype=np.int64)
+    full[: extra.shape[0]] = extra
+    ic = prior_init_cum(full, params).astype(np.int32)
+    blocks = [
+        data,
+        bytes(rng.integers(0, 256, k, dtype=np.uint8)),
+        bytes([0] * k),  # bucket 0 forever; lc == BS fallback at row 0 ties
+        bytes([255] * k),  # last data bucket
+        bytes(rng.integers(250, 256, k, dtype=np.uint8)),  # top-bucket mix
+        b"\xff",
+    ]
+    _roundtrip(blocks, params, ic, delta=64, k=k)  # delta*k overshoots cap
+
+
 def test_two_phase_interleave_matches_oracle(monkeypatch):
     """The production TPU kernel config on the interpreter: phases=2 (two
     independent lane tiles interleaved in one program) + the chunked

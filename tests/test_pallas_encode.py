@@ -138,3 +138,65 @@ def test_model_in_kernel_prior_and_freeze():
     blocks = [bytes(rng.integers(0, 8, k, dtype=np.uint8)),
               (b"abcabcabd" * 80)[:k]]
     _run_m(blocks, params, delta=4, k=k, prior=True)
+
+
+def test_fused_model_coder_kernel_matches_oracle():
+    """The round-5 FUSED kernel (inline two-level model sweep + streaming
+    coder in ONE program — the production TPU encode) on the interpreter:
+    bit-identical v2 payloads vs the sequential oracle, including a
+    freeze-overshoot delta, bucket-boundary symbols, pad lanes, and the
+    terminator position reading a padded symbol."""
+    from redux_tpu.ops.pallas_encode import (
+        EPOCH, LANES, SLAB, _encode_fused_model_jit,
+    )
+
+    import jax
+
+    params = Parameters(8, 14, 16)
+    rng = np.random.default_rng(6)
+    k = 220
+    delta = 120  # overshoots freq_max = 16383 mid-block at k=220
+    blocks = [
+        bytes(rng.integers(0, 256, k, dtype=np.uint8)),
+        bytes([7] * k),  # every hi read crosses a bucket boundary
+        bytes([255] * k),  # top bucket
+        (b"fused model+coder " * 20)[:k],
+        b"z",
+    ]
+    b = len(blocks)
+    syms = np.zeros((b, k), np.int32)
+    lens = np.zeros(b, np.int32)
+    for i, d in enumerate(blocks):
+        syms[i, : len(d)] = np.frombuffer(d, np.uint8)
+        lens[i] = len(d)
+    ic = uniform_init_cum(params).astype(np.int32)
+    b_pad = ((b + LANES - 1) // LANES) * LANES
+    k_pad = ((k + 1 + EPOCH - 1) // EPOCH) * EPOCH
+    n_words = ((k // 2 + SLAB - 1) // SLAB) * SLAB
+    with jax.enable_x64(False):
+        syms_t = jnp.pad(
+            jnp.asarray(syms), ((0, b_pad - b), (0, k_pad - k))
+        ).T
+        lens_p = jnp.pad(
+            jnp.asarray(lens), (0, b_pad - b), constant_values=-1
+        ).reshape(1, b_pad)
+        from redux_tpu.ops.pallas_encode import _build_init_col
+
+        icol = _build_init_col(ic, params)
+        it0 = jnp.asarray(ic, jnp.int32)[-1]
+        tf = jnp.maximum(
+            (jnp.int32(params.freq_max) - it0 + (delta - 1))
+            // jnp.int32(delta),
+            0,
+        )
+        consts = jnp.stack([it0, tf]).reshape(1, 2)
+        words_t, blen, ovf = _encode_fused_model_jit(
+            syms_t, lens_p, icol, consts, params, n_words, delta
+        )
+    words = np.asarray(words_t).T[:b]
+    byte_lens = np.asarray(blen)[0, :b]
+    assert not np.asarray(ovf)[0, :b].any()
+    for i, d in enumerate(blocks):
+        exp = oracle.compress_block(d, params, ic.astype(np.int64), delta)
+        got = words[i].astype(">u4").tobytes()[: byte_lens[i]]
+        assert got == exp, f"block {i}: len {len(got)} vs {len(exp)}"

@@ -67,6 +67,28 @@ def test_model_kernel_matches_ranks_prior_and_freeze():
     _check(syms, lens, ic, params, 100)
 
 
+def test_model_kernel_bucket_sweep_matches_ranks(monkeypatch):
+    """The production TWO-LEVEL sweep (hardware default) on the
+    interpreter: bucket = v >> 3, the pre-update window select, both
+    one-hot lo/hi taps including the v % 8 == 7 coarse-row boundary
+    case, and the coarse-row suffix maintenance — against the rank
+    closed form, with a freeze-overshoot delta.  Distinct k per config
+    keeps the jit cache from reusing a chunk-sweep compile."""
+    monkeypatch.setenv("REDUX_TPU_MODEL_SWEEP", "bucket")
+    params = Parameters(8, 14, 16)
+    rng = np.random.default_rng(5)
+    k = 192
+    syms = rng.integers(0, 256, (8, k)).astype(np.int32)
+    syms[1] = 7  # every hi read crosses a bucket boundary
+    syms[2] = 255  # top bucket; boundary reads hit C[32] = cdf[256]
+    syms[3] = 0
+    syms[4, ::2] = 15  # alternate boundary/interior
+    lens = np.array([k, k, k, k, k, 1, 0, k - 3], np.int32)
+    ic = uniform_init_cum(params).astype(np.int32)
+    _check(syms, lens, ic, params, 16)
+    _check(syms, lens, ic, params, 100)  # overshoots freq_max mid-block
+
+
 def test_model_kernel_feeds_coder_bit_identical(monkeypatch):
     """Full composition: kernel model values -> streaming coder, against
     the sequential oracle's v2 payloads."""
