@@ -262,9 +262,16 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
                 cfhi = jnp.min(jnp.where(bC, i32(0x7FFFFFFF), newC), axis=0)
                 # Fused fine pass: land update t-1, one-hot bucket jb's
                 # window.  Every lane matches exactly one chunk (jb in
-                # [0, NB) for any in-range value), so the zero init never
-                # survives into w.
-                w = jnp.zeros((BS, G, LN), i32)
+                # [0, NB) for any in-range value), so the 0x7FFFFFFF init
+                # never survives the min-merge below.  WSEL round-robin
+                # select chains break the NB-long serial where-dependency
+                # (the former critical path of the step) into chains of
+                # ~NB/WSEL, merged by jnp.minimum — valid because
+                # unmatched accumulators keep the sentinel and every live
+                # cdf entry is < 2**31.
+                WSEL = int(_os.environ.get("REDUX_TPU_WSEL", "1"))
+                wacc = [jnp.full((BS, G, LN), 0x7FFFFFFF, i32)
+                        for _ in range(WSEL)]
                 for c in range(NB):
                     ch = cdf_s[c * BS : (c + 1) * BS, :, :]
                     if probe != "noupdate":
@@ -272,7 +279,11 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
                         ch = ch + jnp.where(m, dv_prev[None], i32(0))
                         cdf_s[c * BS : (c + 1) * BS, :, :] = ch
                     if probe != "noselect":
-                        w = jnp.where((jb == c)[None], ch, w)
+                        s = c % WSEL
+                        wacc[s] = jnp.where((jb == c)[None], ch, wacc[s])
+                w = wacc[0]
+                for s in range(1, WSEL):
+                    w = jnp.minimum(w, wacc[s])
                 bw = w <= value[None]
                 lc = jnp.sum(bw.astype(i32), axis=0, dtype=i32)
                 sym = jb * i32(BS) + lc - i32(1)

@@ -134,14 +134,20 @@ def _encode_kernel(params: Parameters, k: int, n_words: int, n_epochs: int,
             coarse_s[:, :, :] = C + jnp.where(
                 rows_c > jb[None], dv[None], i32(0)
             )
-            w = jnp.zeros((BS, EG, LN), i32)
+            # Round-robin select chains + min-merge (see pallas_decode).
+            WSEL = int(_os.environ.get("REDUX_TPU_WSEL", "1"))
+            wacc = [jnp.full((BS, EG, LN), 0x7FFFFFFF, i32)
+                    for _ in range(WSEL)]
             for c in range(NB):
                 ch = cdf_s[c * BS : (c + 1) * BS, :, :]
-                w = jnp.where((jb == c)[None], ch, w)
+                wacc[c % WSEL] = jnp.where((jb == c)[None], ch, wacc[c % WSEL])
                 m = rows_b > (v - i32(c * BS))[None]
                 cdf_s[c * BS : (c + 1) * BS, :, :] = ch + jnp.where(
                     m, dv[None], i32(0)
                 )
+            w = wacc[0]
+            for s in range(1, WSEL):
+                w = jnp.minimum(w, wacc[s])
             flo = jnp.sum(
                 jnp.where(rows_b == vl[None], w, i32(0)), axis=0, dtype=i32
             )

@@ -135,16 +135,26 @@ def _model_kernel(params: Parameters, k: int, delta: int, n_epochs: int,
                 coarse_s[:, :, :] = C + jnp.where(
                     rows_c > jb[None], dv[None], i32(0)
                 )
-            w = jnp.zeros((BS, G, LN), i32)
+            # WSEL round-robin select chains + min-merge: breaks the
+            # NB-long serial where-dependency (see pallas_decode bucket
+            # sweep); exactly one chunk matches per lane, so unmatched
+            # accumulators keep the sentinel.
+            WSEL = int(_os.environ.get("REDUX_TPU_WSEL", "1"))
+            wacc = [jnp.full((BS, G, LN), 0x7FFFFFFF, i32)
+                    for _ in range(WSEL)]
             for c in range(NB):
                 ch = cdf_s[c * BS : (c + 1) * BS, :, :]
                 if probe != "noextract":
-                    w = jnp.where((jb == c)[None], ch, w)
+                    s = c % WSEL
+                    wacc[s] = jnp.where((jb == c)[None], ch, wacc[s])
                 if probe != "noupdate":
                     m = rows_b > (v - i32(c * BS))[None]
                     cdf_s[c * BS : (c + 1) * BS, :, :] = ch + jnp.where(
                         m, dv[None], i32(0)
                     )
+            w = wacc[0]
+            for s in range(1, WSEL):
+                w = jnp.minimum(w, wacc[s])
             if probe == "noextract":
                 lo, hi = v, v + i32(1)  # probe-only garbage
             else:

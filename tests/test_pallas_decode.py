@@ -127,6 +127,7 @@ def test_bucket_sweep_matches_oracle(monkeypatch):
     The distinct k keeps the jit cache from reusing a full-sweep
     compile."""
     monkeypatch.setenv("REDUX_TPU_DECODE_SWEEP", "bucket")
+    monkeypatch.setenv("REDUX_TPU_WSEL", "4")  # split select chains variant
     params = Parameters(8, 20, 22)
     rng = np.random.default_rng(7)
     k = 160
