@@ -170,6 +170,69 @@ def _model_kernel(params: Parameters, k: int, delta: int, n_epochs: int,
             hi_ref[pl.ds(jj, 1), :, :] = hi[None]
             return 0
 
+        def step_bucket_pair(jj, _):
+            """Two symbols per fused pass (bucket-mode U=2): one model-row
+            load/store pass lands BOTH suffix updates and selects both
+            windows; the second position's (lo, hi) are read from the
+            PRE-pair state and fixed by exact lane-wise corrections
+            (+dv1 when v2 [resp. v2+1] exceeds v1 — the +delta rule
+            applied symbolically, adaptive_linear.rs:33-39).  When
+            vl2 == BS-1 the boundary read C[jb2+1] gets the SAME
+            correction, since then v2+1 == (jb2+1)*BS."""
+            t0 = e * EPOCH + 2 * jj
+            v1 = syms_ref[pl.ds(2 * jj, 1), :, :][0]
+            v2 = syms_ref[pl.ds(2 * jj + 1, 1), :, :][0]
+            dv1 = jnp.where((t0 < lens) & (t0 < tfreeze), i32(delta), i32(0))
+            dv2 = jnp.where(
+                ((t0 + 1) < lens) & ((t0 + 1) < tfreeze), i32(delta), i32(0)
+            )
+            jb1, vl1 = v1 >> i32(3), v1 & i32(BS - 1)
+            jb2, vl2 = v2 >> i32(3), v2 & i32(BS - 1)
+            C = coarse_s[:, :, :]
+            cn1 = jnp.sum(
+                jnp.where(rows_c == (jb1 + i32(1))[None], C, i32(0)),
+                axis=0, dtype=i32,
+            )
+            cn2 = jnp.sum(
+                jnp.where(rows_c == (jb2 + i32(1))[None], C, i32(0)),
+                axis=0, dtype=i32,
+            )
+            coarse_s[:, :, :] = (
+                C
+                + jnp.where(rows_c > jb1[None], dv1[None], i32(0))
+                + jnp.where(rows_c > jb2[None], dv2[None], i32(0))
+            )
+            w1 = jnp.zeros((BS, G, LN), i32)
+            w2 = jnp.zeros((BS, G, LN), i32)
+            for c in range(NB):
+                ch = cdf_s[c * BS : (c + 1) * BS, :, :]
+                w1 = jnp.where((jb1 == c)[None], ch, w1)
+                w2 = jnp.where((jb2 == c)[None], ch, w2)
+                m1 = rows_b > (v1 - i32(c * BS))[None]
+                m2 = rows_b > (v2 - i32(c * BS))[None]
+                cdf_s[c * BS : (c + 1) * BS, :, :] = (
+                    ch
+                    + jnp.where(m1, dv1[None], i32(0))
+                    + jnp.where(m2, dv2[None], i32(0))
+                )
+
+            def tap(w, vl):
+                return jnp.sum(
+                    jnp.where(rows_b == vl[None], w, i32(0)), axis=0, dtype=i32
+                )
+
+            lo1 = tap(w1, vl1)
+            hi1 = jnp.where(vl1 == i32(BS - 1), cn1, tap(w1, vl1 + i32(1)))
+            lo2 = tap(w2, vl2) + dv1 * (v2 > v1).astype(i32)
+            hi2 = jnp.where(
+                vl2 == i32(BS - 1), cn2, tap(w2, vl2 + i32(1))
+            ) + dv1 * (v2 + i32(1) > v1).astype(i32)
+            lo_ref[pl.ds(2 * jj, 1), :, :] = lo1[None]
+            hi_ref[pl.ds(2 * jj, 1), :, :] = hi1[None]
+            lo_ref[pl.ds(2 * jj + 1, 1), :, :] = lo2[None]
+            hi_ref[pl.ds(2 * jj + 1, 1), :, :] = hi2[None]
+            return 0
+
         def step(jj, _):
             t0 = e * EPOCH + jj * U
             vs, dv = [], []
@@ -217,8 +280,15 @@ def _model_kernel(params: Parameters, k: int, delta: int, n_epochs: int,
                 hi_ref[pl.ds(jj * U + u, 1), :, :] = acc_hi[u][None]
             return 0
 
-        body = step_bucket if sweep_mode == "bucket" else step
-        n_steps = EPOCH if sweep_mode == "bucket" else EPOCH // U
+        if sweep_mode == "bucket":
+            # Bucket mode honors U in {1, 2}: the paired step shares one
+            # model-row load/store pass between two symbols.
+            assert U in (1, 2), "bucket sweep supports REDUX_TPU_MODEL_GROUP 1/2"
+            body = step_bucket_pair if U == 2 else step_bucket
+            n_steps = EPOCH // U
+        else:
+            body = step
+            n_steps = EPOCH // U
         if unroll:
             for jj in range(n_steps):
                 body(jj, 0)

@@ -76,6 +76,7 @@ def test_model_kernel_bucket_sweep_matches_ranks(monkeypatch):
     keeps the jit cache from reusing a chunk-sweep compile."""
     monkeypatch.setenv("REDUX_TPU_MODEL_SWEEP", "bucket")
     monkeypatch.setenv("REDUX_TPU_WSEL", "2")  # split select chains variant
+    monkeypatch.setenv("REDUX_TPU_MODEL_GROUP", "2")  # paired bucket step
     params = Parameters(8, 14, 16)
     rng = np.random.default_rng(5)
     k = 192
