@@ -472,8 +472,13 @@ def decode(archive: bytes, _timings: Optional[dict] = None) -> bytes:
             mask = np.pad(mask, ((0, rows - len(sel)), (0, 0)))
         byts[mask] = cat
         klens = np.zeros(rows, dtype=np.int32)
-        klens[: len(sel)] = np.where(raw_v, 0, block_lens)[sel]
+        klens[: len(sel)] = sym_lens[sel]
         return byts, klens
+
+    # Per-block symbol counts for the kernels (0 for stored-raw blocks),
+    # hoisted out of _stage so the chunk loop doesn't rebuild the full
+    # n_blocks-length array once per chunk.
+    sym_lens = np.where(raw_v, 0, block_lens)
 
     if _use_pallas(params):
         # Transposed host-built layout: no device-side byte relayouts

@@ -310,7 +310,10 @@ def run_device_benchmark(data: bytes, block_size: int = 0, iters: int = 10,
     import os as _os
 
     peak = float(_os.environ.get("REDUX_TPU_VPU_PEAK_TOPS", "7.1")) * 1e12
-    _S_PAD, _C_PAD, _BS = 264, 40, 8
+    from .ops.pallas_decode import BS as _BS
+    from .ops.pallas_decode import C_PAD as _C_PAD
+    from .ops.pallas_decode import S_PAD as _S_PAD
+
     dec_ops = 5 * _S_PAD + 7 * _C_PAD + 7 * _BS + 120
     enc_ops = 4 * _S_PAD + 90 + 150
     roofline = {

@@ -223,7 +223,6 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
                 low, high, z, cur, avail, wq, count_i = carry
             active = t < lens
 
-            cdf = cdf_s[:, :, :]
             rngv = high - low + u32(1)
             count = count_i.astype(u32)
             # One reciprocal per divisor per step (wide32 rcp variants):
@@ -270,6 +269,8 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
                 # unmatched accumulators keep the sentinel and every live
                 # cdf entry is < 2**31.
                 WSEL = int(_os.environ.get("REDUX_TPU_WSEL", "1"))
+                if WSEL < 1:
+                    raise ValueError(f"REDUX_TPU_WSEL must be >= 1 (got {WSEL})")
                 wacc = [jnp.full((BS, G, LN), 0x7FFFFFFF, i32)
                         for _ in range(WSEL)]
                 for c in range(NB):
@@ -335,6 +336,7 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
                 flo = acc_flo[0].astype(u32)
                 fhi = acc_fhi[0].astype(u32)
             else:
+                cdf = cdf_s[:, :, :]
                 b = cdf <= value[None]
                 sym = jnp.sum(b.astype(i32), axis=0, dtype=i32) - i32(1)
                 flo = jnp.max(jnp.where(b, cdf, i32(0)), axis=0).astype(u32)
@@ -506,9 +508,25 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("params", "k", "delta", "phases"))
+def _env_variant() -> str:
+    """Every env knob the decode kernel trace reads, as one string.
+
+    Passed as a STATIC jit argument by the wrappers below so toggling a
+    knob after a first compile gets a fresh trace instead of a silent
+    stale-cache hit (jit caches key only on shapes and statics — the
+    kernel builder reads the env at trace time)."""
+    keys = ("REDUX_TPU_DECODE_SWEEP", "REDUX_TPU_DECODE_CH",
+            "REDUX_TPU_DECODE_ACCW", "REDUX_TPU_WSEL",
+            "REDUX_TPU_DECODE_PROBE")
+    return "|".join(_os.environ.get(k, "") for k in keys)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "k", "delta", "phases", "variant")
+)
 def _decode_pallas_jit(words_t, lens, init_col, params: Parameters, k: int,
-                       delta: int, phases: int | None = None):
+                       delta: int, phases: int | None = None,
+                       variant: str = ""):
     wn, b = words_t.shape
     n_tiles = b // LANES
     k_pad = ((k + EPOCH - 1) // EPOCH) * EPOCH
@@ -647,7 +665,8 @@ def decode_blocks_pallas_t(
         raise ValueError("pallas decoder requires fits_u32 or fits_wide32 params")
     with jax.enable_x64(False):
         return _decode_pallas_jit(
-            words_t, lens_row, init_col, params, k, int(delta), phases
+            words_t, lens_row, init_col, params, k, int(delta), phases,
+            variant=_env_variant(),
         )
 
 
@@ -677,6 +696,7 @@ def decode_blocks_pallas(words, lens, init_cum, params: Parameters, k: int,
         lens_p = jnp.pad(lens.astype(jnp.int32), (0, b_pad - b)).reshape(1, b_pad)
         init_col = jnp.asarray(init_cum_column(np.asarray(init_cum), params))
         out = _decode_pallas_jit(
-            words_t, lens_p, init_col, params, k, int(delta), phases
+            words_t, lens_p, init_col, params, k, int(delta), phases,
+            variant=_env_variant(),
         )
         return out[:k, :b].T  # (B, k) uint8

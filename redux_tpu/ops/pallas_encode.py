@@ -136,6 +136,8 @@ def _encode_kernel(params: Parameters, k: int, n_words: int, n_epochs: int,
             )
             # Round-robin select chains + min-merge (see pallas_decode).
             WSEL = int(_os.environ.get("REDUX_TPU_WSEL", "1"))
+            if WSEL < 1:
+                raise ValueError(f"REDUX_TPU_WSEL must be >= 1 (got {WSEL})")
             wacc = [jnp.full((BS, EG, LN), 0x7FFFFFFF, i32)
                     for _ in range(WSEL)]
             for c in range(NB):
@@ -443,9 +445,11 @@ def _encode_pallas_jit(lo_t, hi_t, consts, lens, params: Parameters, n_words: in
     return words, blen2, ovf2
 
 
-@functools.partial(jax.jit, static_argnames=("params", "n_words", "delta"))
+@functools.partial(
+    jax.jit, static_argnames=("params", "n_words", "delta", "variant")
+)
 def _encode_fused_model_jit(syms_t, lens, init_col, consts, params: Parameters,
-                            n_words: int, delta: int = 1):
+                            n_words: int, delta: int = 1, variant: str = ""):
     """ONE kernel for the whole encode: model sweep + streaming coder.
 
     Same contract as :func:`_encode_pallas_jit` but taking the (k_pad, b)
@@ -912,15 +916,26 @@ def encode_blocks_ranked(syms, lens, init_cum, params: Parameters, n_words: int,
     Same signature/returns as :func:`encode_blocks_pallas_m`.
     """
     # x64 off for the whole trace: the Pallas kernel has no 64-bit types,
-    # and every rank quantity fits int32 (counts < 2**20).
+    # and every rank quantity fits int32 (counts < 2**20).  The env
+    # variant string keys the jit cache on every knob the trace reads
+    # (fused/model-sweep selection, WSEL, probes) so toggling one after a
+    # first compile re-traces instead of reusing a stale kernel.
+    import os as _os
+
+    from .pallas_model import _env_variant as _model_variant
+
+    variant = _os.environ.get("REDUX_TPU_ENC_FUSED", "0") + "|" + _model_variant()
     with jax.enable_x64(False):
         return _encode_ranked_fused_jit(
-            syms, lens, init_cum, params, n_words, int(delta)
+            syms, lens, init_cum, params, n_words, int(delta), variant
         )
 
 
-@functools.partial(jax.jit, static_argnames=("params", "n_words", "delta"))
-def _encode_ranked_fused_jit(syms, lens, init_cum, params, n_words, delta):
+@functools.partial(
+    jax.jit, static_argnames=("params", "n_words", "delta", "variant")
+)
+def _encode_ranked_fused_jit(syms, lens, init_cum, params, n_words, delta,
+                             variant: str = ""):
     """The whole production encode under ONE jit.
 
     On TPU: the Pallas MODEL-VALUES kernel (the decoder's dense-row

@@ -140,6 +140,8 @@ def _model_kernel(params: Parameters, k: int, delta: int, n_epochs: int,
             # sweep); exactly one chunk matches per lane, so unmatched
             # accumulators keep the sentinel.
             WSEL = int(_os.environ.get("REDUX_TPU_WSEL", "1"))
+            if WSEL < 1:
+                raise ValueError(f"REDUX_TPU_WSEL must be >= 1 (got {WSEL})")
             wacc = [jnp.full((BS, G, LN), 0x7FFFFFFF, i32)
                     for _ in range(WSEL)]
             for c in range(NB):
@@ -189,44 +191,52 @@ def _model_kernel(params: Parameters, k: int, delta: int, n_epochs: int,
             jb1, vl1 = v1 >> i32(3), v1 & i32(BS - 1)
             jb2, vl2 = v2 >> i32(3), v2 & i32(BS - 1)
             C = coarse_s[:, :, :]
-            cn1 = jnp.sum(
-                jnp.where(rows_c == (jb1 + i32(1))[None], C, i32(0)),
-                axis=0, dtype=i32,
-            )
-            cn2 = jnp.sum(
-                jnp.where(rows_c == (jb2 + i32(1))[None], C, i32(0)),
-                axis=0, dtype=i32,
-            )
-            coarse_s[:, :, :] = (
-                C
-                + jnp.where(rows_c > jb1[None], dv1[None], i32(0))
-                + jnp.where(rows_c > jb2[None], dv2[None], i32(0))
-            )
+            if probe != "noextract":
+                cn1 = jnp.sum(
+                    jnp.where(rows_c == (jb1 + i32(1))[None], C, i32(0)),
+                    axis=0, dtype=i32,
+                )
+                cn2 = jnp.sum(
+                    jnp.where(rows_c == (jb2 + i32(1))[None], C, i32(0)),
+                    axis=0, dtype=i32,
+                )
+            if probe != "noupdate":
+                coarse_s[:, :, :] = (
+                    C
+                    + jnp.where(rows_c > jb1[None], dv1[None], i32(0))
+                    + jnp.where(rows_c > jb2[None], dv2[None], i32(0))
+                )
             w1 = jnp.zeros((BS, G, LN), i32)
             w2 = jnp.zeros((BS, G, LN), i32)
             for c in range(NB):
                 ch = cdf_s[c * BS : (c + 1) * BS, :, :]
-                w1 = jnp.where((jb1 == c)[None], ch, w1)
-                w2 = jnp.where((jb2 == c)[None], ch, w2)
-                m1 = rows_b > (v1 - i32(c * BS))[None]
-                m2 = rows_b > (v2 - i32(c * BS))[None]
-                cdf_s[c * BS : (c + 1) * BS, :, :] = (
-                    ch
-                    + jnp.where(m1, dv1[None], i32(0))
-                    + jnp.where(m2, dv2[None], i32(0))
-                )
+                if probe != "noextract":
+                    w1 = jnp.where((jb1 == c)[None], ch, w1)
+                    w2 = jnp.where((jb2 == c)[None], ch, w2)
+                if probe != "noupdate":
+                    m1 = rows_b > (v1 - i32(c * BS))[None]
+                    m2 = rows_b > (v2 - i32(c * BS))[None]
+                    cdf_s[c * BS : (c + 1) * BS, :, :] = (
+                        ch
+                        + jnp.where(m1, dv1[None], i32(0))
+                        + jnp.where(m2, dv2[None], i32(0))
+                    )
 
             def tap(w, vl):
                 return jnp.sum(
                     jnp.where(rows_b == vl[None], w, i32(0)), axis=0, dtype=i32
                 )
 
-            lo1 = tap(w1, vl1)
-            hi1 = jnp.where(vl1 == i32(BS - 1), cn1, tap(w1, vl1 + i32(1)))
-            lo2 = tap(w2, vl2) + dv1 * (v2 > v1).astype(i32)
-            hi2 = jnp.where(
-                vl2 == i32(BS - 1), cn2, tap(w2, vl2 + i32(1))
-            ) + dv1 * (v2 + i32(1) > v1).astype(i32)
+            if probe == "noextract":
+                lo1, hi1 = v1, v1 + i32(1)  # probe-only garbage
+                lo2, hi2 = v2, v2 + i32(1)
+            else:
+                lo1 = tap(w1, vl1)
+                hi1 = jnp.where(vl1 == i32(BS - 1), cn1, tap(w1, vl1 + i32(1)))
+                lo2 = tap(w2, vl2) + dv1 * (v2 > v1).astype(i32)
+                hi2 = jnp.where(
+                    vl2 == i32(BS - 1), cn2, tap(w2, vl2 + i32(1))
+                ) + dv1 * (v2 + i32(1) > v1).astype(i32)
             lo_ref[pl.ds(2 * jj, 1), :, :] = lo1[None]
             hi_ref[pl.ds(2 * jj, 1), :, :] = hi1[None]
             lo_ref[pl.ds(2 * jj + 1, 1), :, :] = lo2[None]
@@ -280,10 +290,11 @@ def _model_kernel(params: Parameters, k: int, delta: int, n_epochs: int,
                 hi_ref[pl.ds(jj * U + u, 1), :, :] = acc_hi[u][None]
             return 0
 
-        if sweep_mode == "bucket":
+        if sweep_mode == "bucket" and U <= 2:
             # Bucket mode honors U in {1, 2}: the paired step shares one
-            # model-row load/store pass between two symbols.
-            assert U in (1, 2), "bucket sweep supports REDUX_TPU_MODEL_GROUP 1/2"
+            # model-row load/store pass between two symbols.  U > 2 falls
+            # back to the chunk sweep below, which supports any U — the
+            # knob keeps working regardless of the sweep default.
             body = step_bucket_pair if U == 2 else step_bucket
             n_steps = EPOCH // U
         else:
@@ -298,9 +309,21 @@ def _model_kernel(params: Parameters, k: int, delta: int, n_epochs: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("params", "k", "delta"))
+def _env_variant() -> str:
+    """Env knobs the model-kernel trace reads, passed as a static jit
+    arg so toggling them after a first compile re-traces instead of
+    hitting a stale cache (see pallas_decode._env_variant)."""
+    keys = ("REDUX_TPU_MODEL_SWEEP", "REDUX_TPU_MODEL_CH",
+            "REDUX_TPU_MODEL_GROUP", "REDUX_TPU_WSEL",
+            "REDUX_TPU_MODEL_PROBE")
+    return "|".join(_os.environ.get(k, "") for k in keys)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "k", "delta", "variant")
+)
 def _model_lohi_jit(syms_t, lens, init_col, consts, params: Parameters,
-                    k: int, delta: int):
+                    k: int, delta: int, variant: str = ""):
     """(k_pad, b) int32 lo/hi planes from (k_pad, b) int32 symbols.
 
     ``syms_t`` is position-major (the coder kernel's plane layout);
@@ -380,6 +403,7 @@ def model_lohi_pallas(syms, lens, init_cum, params: Parameters, delta: int = 1):
             0,
         ).reshape(1, 1)
         lo, hi = _model_lohi_jit(
-            syms_t, lens_p, init_col, tf, params, k, int(delta)
+            syms_t, lens_p, init_col, tf, params, k, int(delta),
+            variant=_env_variant(),
         )
         return lo.T[:b, :k], hi.T[:b, :k]

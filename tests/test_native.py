@@ -80,3 +80,27 @@ def test_native_incompressible_roundtrip():
     c = native.compress_bytes(data, p)
     assert native.decompress_bytes(c, p) == data
     assert len(c) >= len(data)
+
+
+def test_generic_width_partial_tail_drops_like_reference():
+    """Symbol widths that do not divide the input bit length DROP the
+    partial tail symbol on compress (read_bits hits Eof mid-symbol ->
+    EOF injected, codec.rs:106-109) and the partial trailing byte on
+    decompress (write_bits with no final flush, codec.rs:171,
+    lib.rs:113-120).  This is the REFERENCE's behavior, asserted
+    identical between the oracle and the native codec — not silent
+    corruption: the reference contract never round-trips sub-symbol
+    tails."""
+    from redux_tpu import oracle
+    from redux_tpu.models.linear import AdaptiveLinearModel
+
+    p = Parameters(16, 18, 20)
+    c_o = oracle.compress_bytes(b"abc", AdaptiveLinearModel(p))
+    c_n = native.compress_bytes(b"abc", p)
+    assert c_o == c_n
+    assert oracle.decompress_bytes(c_o, AdaptiveLinearModel(p)) == b"ab"
+    assert native.decompress_bytes(c_n, p) == b"ab"
+    # Widths dividing the input round-trip in full.
+    p4 = Parameters(4, 10, 16)
+    full = native.compress_bytes(b"abc", p4)
+    assert native.decompress_bytes(full, p4) == b"abc"
