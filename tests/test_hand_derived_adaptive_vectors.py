@@ -60,6 +60,21 @@ pinned implementation-independently); symbol 69 codes frozen at count
   2-bit v2 terminator: tq = ceil(low/quarter) = 1 -> bits 0,1.
 
   Payload: 0x41 0x50 0xE0 0x68 0xA2 0x3B (6 bytes).
+
+Decoder twin (codec.rs:124-158, zero bits past the payload end — the
+v2 read contract): priming reads code_bits = 12 bits; per step
+value = ((pending - low + 1)*count - 1)//range against the SAME
+adapting model, reproducing the count/interval table above exactly:
+
+  step 0: count=257  value=65   -> sym 65 'A'   [1035,1050]
+  step 1: count=512  value=321  -> sym 66 'B'   [2692,2695]
+  step 2: count=767  value=577  -> sym 67 'C'   [3081,3085]
+  step 3: count=1022 value=833  -> sym 68 'D'   [2598,2600]
+  step 4: count=1277 value=1089 -> sym 69 'E'   [2619,2621]
+
+step 4 decodes against the OVERSHOT frozen count 1277 > freq_max —
+any implementation that clamps the count at freq_max instead of
+letting it overshoot fails this vector on both directions.
 """
 
 import numpy as np
