@@ -196,8 +196,13 @@ def encode_blocks_pallas_m_sharded(
         return words_t.T[:b, :n_words], blen[0, :b], ovf[0, :b].astype(bool)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "k", "delta", "mesh"))
-def _decode_pallas_sharded(words_t, lens_row, init_col, params, k, delta, mesh):
+@functools.partial(
+    jax.jit, static_argnames=("params", "k", "delta", "mesh", "variant")
+)
+def _decode_pallas_sharded(words_t, lens_row, init_col, params, k, delta, mesh,
+                           variant: str = ""):
+    # `variant` keys the cache on the sweep/WSEL/probe env knobs the
+    # kernel trace reads (see pallas_decode._env_variant).
     from ..ops.pallas_decode import _decode_pallas_jit
 
     fn = functools.partial(
@@ -234,14 +239,22 @@ def decode_blocks_pallas_sharded(
         words_t = words_p.T
         lens_row = jnp.pad(lens.astype(jnp.int32), (0, b_pad - b)).reshape(1, b_pad)
         init_col = jnp.asarray(init_cum_column(np.asarray(init_cum), params))
+        from ..ops.pallas_decode import _env_variant
+
         out = _decode_pallas_sharded(
-            words_t, lens_row, init_col, params, k, int(delta), mesh
+            words_t, lens_row, init_col, params, k, int(delta), mesh,
+            variant=_env_variant(),
         )
         return out[:k, :b].T  # (B, k) uint8
 
 
-@functools.partial(jax.jit, static_argnames=("params", "n_words", "delta", "mesh"))
-def _encode_ranked_sharded(syms, lens, init_cum, params, n_words, delta, mesh):
+@functools.partial(
+    jax.jit, static_argnames=("params", "n_words", "delta", "mesh", "variant")
+)
+def _encode_ranked_sharded(syms, lens, init_cum, params, n_words, delta, mesh,
+                           variant: str = ""):
+    # `variant` keys the cache on the fused/model-sweep env knobs read at
+    # trace time inside encode_blocks_ranked.
     from ..ops.pallas_encode import encode_blocks_ranked
 
     spec = P("dp")
@@ -268,7 +281,15 @@ def encode_blocks_ranked_sharded(
     b_pad = ((b + q - 1) // q) * q
     syms_p = jnp.pad(syms.astype(jnp.int32), ((0, b_pad - b), (0, 0)))
     lens_p = jnp.pad(lens.astype(jnp.int32), (0, b_pad - b))
+    import os as _os
+
+    from ..ops.pallas_model import _env_variant as _model_variant
+
+    variant = (
+        _os.environ.get("REDUX_TPU_ENC_FUSED", "0") + "|" + _model_variant()
+    )
     words, blen, ovf = _encode_ranked_sharded(
-        syms_p, lens_p, init_cum, params, n_words, int(delta), mesh
+        syms_p, lens_p, init_cum, params, n_words, int(delta), mesh,
+        variant=variant,
     )
     return words[:b], blen[:b], ovf[:b]
