@@ -157,3 +157,73 @@ def test_large_input_chunked_encode_decode_roundtrip():
     assert out.returncode == 0, out.stderr[-3000:]
     assert "large-input OK" in out.stdout, out.stdout
     print(out.stdout.strip())
+
+
+_FUZZ_DRIVER = r"""
+import numpy as np, jax
+assert jax.default_backend() not in ("cpu",), jax.default_backend()
+import jax.numpy as jnp
+from redux_tpu import oracle
+from redux_tpu.models.dense import uniform_init_cum
+from redux_tpu.ops.pallas_decode import decode_blocks_pallas
+from redux_tpu.ops.pallas_encode import encode_blocks_ranked
+from redux_tpu.params import Parameters
+
+params = Parameters.tpu_wide()
+rng = np.random.default_rng(7)
+k, nb, delta = 512, 8, 16
+ic = uniform_init_cum(params).astype(np.int32)
+icj = jnp.asarray(ic)
+for trial in range(10):
+    blocks = []
+    for _ in range(nb):
+        kind = rng.integers(0, 5)
+        n = int(rng.integers(1, k + 1)) if rng.integers(0, 3) == 0 else k
+        if kind == 0: b = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        elif kind == 1: b = bytes([int(rng.integers(0, 256))] * n)
+        elif kind == 2: b = bytes(rng.integers(0, 9, n, dtype=np.uint8))
+        elif kind == 3: b = bytes(((np.arange(n) * 8 + rng.integers(-1, 2, n)) % 256).astype(np.uint8))
+        else: b = bytes(rng.integers(248, 256, n, dtype=np.uint8))
+        blocks.append(b)
+    syms = np.zeros((nb, k), np.int32); lens = np.zeros(nb, np.int32)
+    for i, d in enumerate(blocks):
+        syms[i, : len(d)] = np.frombuffer(d, np.uint8); lens[i] = len(d)
+    words, blens, ovf = encode_blocks_ranked(
+        jnp.asarray(syms), jnp.asarray(lens), icj, params, k // 2, delta)
+    words_np, blens_np = np.asarray(words), np.asarray(blens)
+    assert not np.asarray(ovf).any(), trial
+    for i, d in enumerate(blocks):
+        exp = oracle.compress_block(d, params, ic.astype(np.int64), delta)
+        got = words_np[i].astype(">u4").tobytes()[: blens_np[i]]
+        assert got == exp, ("encode", trial, i)
+    dec = np.asarray(decode_blocks_pallas(
+        jnp.asarray(words_np), jnp.asarray(lens), icj, params, k, delta))
+    for i, d in enumerate(blocks):
+        assert dec[i, : lens[i]].astype(np.uint8).tobytes() == d, ("decode", trial, i)
+print("hardware content-fuzz: bit-exact")
+"""
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not _hardware_available(),
+    reason="no accelerator backend configured (REDUX_TPU_HW_TESTS=1 forces)",
+)
+def test_compiled_kernels_content_fuzz():
+    """Random-content differential sweep in COMPILED Mosaic mode: 10
+    trials x 8 mixed blocks (random / constant / tiny-alphabet /
+    bucket-boundary-heavy / top-bucket) vs the oracle, bit-exact both
+    directions.  Same shapes as the bit-exact test above, so the kernel
+    compiles are shared via the persistent cache."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("REDUX_TPU_LANES", None)
+    env.pop("REDUX_TPU_DLANES", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-c", _FUZZ_DRIVER], env=env, capture_output=True,
+        text=True, timeout=1800,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "bit-exact" in out.stdout
