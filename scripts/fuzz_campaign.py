@@ -6,7 +6,7 @@ Random valid (8, f, c) configs x random deltas x random priors x mixed
 block contents, comparing the interpret-mode Pallas kernels (bucket
 sweep, paired step, WSEL variants, fused encoder) against the
 sequential oracle bit-for-bit.  Not part of CI — a bounded bug hunt
-(round-5 runs: 225 trials clean).  The env toggling per trial relies on
+(round-5 runs: 517 trials clean).  The env toggling per trial relies on
 the variant-keyed jit caches (pallas_decode._env_variant).
 """
 import os
