@@ -145,7 +145,16 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
     sweep_mode = _os.environ.get(
         "REDUX_TPU_DECODE_SWEEP", "bucket" if unroll else "full"
     )
-    bucket = sweep_mode == "bucket"
+    # "bucketsplit": the two-level sweep with the model update emitted as
+    # a SEPARATE dependency-free pass at the END of the step (after the
+    # serial interval/renorm/read chain) instead of fused with the
+    # window select.  Costs one extra row load per symbol, but the
+    # update's ~5 slots/row have zero data dependence on the chain, so
+    # an instruction scheduler willing to interleave adjacent regions
+    # can fill the chain's latency stalls with them.  A/B experiment for
+    # the measured additivity of sweep and chain (BASELINE.md).
+    bucket = sweep_mode in ("bucket", "bucketsplit")
+    bsplit = sweep_mode == "bucketsplit"
 
     def _make_phase(init_ref, lens_ref, words_ref, out_ref,
                     cdf_s, coarse_s, ring_s, stage_s, nl_s, smin_s, smax_s):
@@ -216,7 +225,7 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
             # update.  (sym_prev, jb_prev, dv_prev) ride in the carry;
             # dv_prev = 0 at t = 0 and on frozen/inactive steps makes the
             # landed update a no-op.
-            if bucket:
+            if bucket and not bsplit:
                 (low, high, z, cur, avail, wq, count_i,
                  sym_prev, jb_prev, dv_prev) = carry
             else:
@@ -251,11 +260,14 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
                 upd = active & (count_i < i32(freq_max))
                 delta_v = jnp.where(upd, i32(delta), i32(0))
                 C = coarse_s[:, :, :]
-                newC = C + jnp.where(
-                    rows_coarse > jb_prev[None], dv_prev[None], i32(0)
-                )
-                if probe != "noupdate":
-                    coarse_s[:, :, :] = newC
+                if bsplit:
+                    newC = C  # already current: updates land at step end
+                else:
+                    newC = C + jnp.where(
+                        rows_coarse > jb_prev[None], dv_prev[None], i32(0)
+                    )
+                    if probe != "noupdate":
+                        coarse_s[:, :, :] = newC
                 bC = newC <= value[None]
                 jb = jnp.sum(bC.astype(i32), axis=0, dtype=i32) - i32(1)
                 cfhi = jnp.min(jnp.where(bC, i32(0x7FFFFFFF), newC), axis=0)
@@ -275,7 +287,7 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
                         for _ in range(WSEL)]
                 for c in range(NB):
                     ch = cdf_s[c * BS : (c + 1) * BS, :, :]
-                    if probe != "noupdate":
+                    if not bsplit and probe != "noupdate":
                         m = rows_bucket > (sym_prev - i32(c * BS))[None]
                         ch = ch + jnp.where(m, dv_prev[None], i32(0))
                         cdf_s[c * BS : (c + 1) * BS, :, :] = ch
@@ -388,7 +400,20 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
             z = jnp.where(active, ((z << n.astype(u32)) | bits) & u32(cmax), z)
 
             stage_s[pl.ds(stage_row, 1), :, :] = jnp.where(active, sym, i32(0))[None]
-            if bucket:
+            if bsplit and probe != "noupdate":
+                # Trailing update landing: zero data dependence on the
+                # chain above — pure stall-filler material for the
+                # scheduler.  dv = 0 on inactive/frozen lanes.
+                coarse_s[:, :, :] = newC + jnp.where(
+                    rows_coarse > jb[None], delta_v[None], i32(0)
+                )
+                for c in range(NB):
+                    chv = cdf_s[c * BS : (c + 1) * BS, :, :]
+                    mu = rows_bucket > (sym - i32(c * BS))[None]
+                    cdf_s[c * BS : (c + 1) * BS, :, :] = chv + jnp.where(
+                        mu, delta_v[None], i32(0)
+                    )
+            if bucket and not bsplit:
                 # Inactive/frozen steps carry dv = 0, so garbage sym/jb
                 # on those lanes land a no-op next step.
                 return (low, high, z, cur, avail, wq, count_i,
@@ -446,7 +471,7 @@ def _decode_kernel(params: Parameters, k: int, delta: int, wn: int,
                 wq0,
                 cdf_s[S, :, :],  # running total (register copy of row S)
             )
-            if bucket:
+            if bucket and not bsplit:
                 # Pipelined-update state: dv_prev = 0 makes the first
                 # step's landed update a no-op.
                 zi = jnp.zeros((G, LN), i32)

@@ -118,7 +118,8 @@ def test_divergent_rates_slab_refill():
     _roundtrip(blocks, params, ic, delta=16, k=k)
 
 
-def test_bucket_sweep_matches_oracle(monkeypatch):
+@pytest.mark.parametrize("mode", ["bucket", "bucketsplit"])
+def test_bucket_sweep_matches_oracle(monkeypatch, mode):
     """The production TWO-LEVEL sweep (hardware default) on the
     interpreter: coarse row maintenance, the fused update-landing /
     window-select pass, and the coarse-min fhi fallback (lc == BS) all
@@ -126,7 +127,7 @@ def test_bucket_sweep_matches_oracle(monkeypatch):
     and degenerate single-symbol blocks whose bucket never changes.
     The distinct k keeps the jit cache from reusing a full-sweep
     compile."""
-    monkeypatch.setenv("REDUX_TPU_DECODE_SWEEP", "bucket")
+    monkeypatch.setenv("REDUX_TPU_DECODE_SWEEP", mode)
     monkeypatch.setenv("REDUX_TPU_WSEL", "4")  # split select chains variant
     params = Parameters(8, 20, 22)
     rng = np.random.default_rng(7)
