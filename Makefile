@@ -7,7 +7,7 @@
 PY ?= python
 PYTEST = JAX_PLATFORMS=cpu PYTHONPATH=. $(PY) -m pytest
 
-.PHONY: test test-release bench-smoke bench bench-preflight scaling multihost ci
+.PHONY: test test-release bench-smoke bench bench-preflight scaling multihost fuzz ci
 
 # Fast tier: every unit/differential/integration test that runs in debug
 # builds of the reference (artificial corpus included, grid gated).
@@ -35,5 +35,10 @@ bench: bench-preflight
 
 scaling:
 	JAX_PLATFORMS=cpu PYTHONPATH=.:$$PYTHONPATH $(PY) scripts/scaling_bench.py
+
+# Bounded randomized differential bug hunt (default 20 minutes):
+# Pallas kernel variants + generic device-path coders vs the oracle.
+fuzz:
+	PYTHONPATH= $(PY) scripts/fuzz_campaign.py $(or $(MINUTES),20)
 
 ci: test bench-smoke

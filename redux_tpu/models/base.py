@@ -3,6 +3,10 @@
 Mirrors the reference ``Model`` trait (``/root/reference/src/model/mod.rs:17-29``):
 the codec only ever talks to a model through these four methods (plus the
 debug frequency-table hook used by differential tests, model/mod.rs:27-28).
+
+This is the HOST-path contract (``oracle.compress``/``compress_bytes``).
+The same trait on the jit device path is ``ops.generic.JaxModel`` — the
+four methods as pure lane-batched JAX functions over a state pytree.
 """
 
 from __future__ import annotations

@@ -5,9 +5,12 @@ Usage: PYTHONPATH= python scripts/fuzz_campaign.py [minutes]
 Random valid (8, f, c) configs x random deltas x random priors x mixed
 block contents, comparing the interpret-mode Pallas kernels (bucket
 sweep, paired step, WSEL variants, fused encoder) against the
-sequential oracle bit-for-bit.  Not part of CI — a bounded bug hunt
-(round-5 runs: 517 trials clean).  The env toggling per trial relies on
-the variant-keyed jit caches (pallas_decode._env_variant).
+sequential oracle bit-for-bit.  Every 4th trial additionally runs the
+generic device-path coders (ops/generic: dense JaxModel) against the
+specialized ranks+encode_blocks path and round-trips the result.  Not
+part of CI — a bounded bug hunt (round-5 runs: 517 trials clean before
+the generic leg was added).  The env toggling per trial relies on the
+variant-keyed jit caches (pallas_decode._env_variant).
 """
 import os
 import sys
@@ -25,7 +28,12 @@ import jax.numpy as jnp
 
 from redux_tpu import oracle
 from redux_tpu.models.dense import prior_init_cum, quantize_prior, uniform_init_cum
-from redux_tpu.ops.coder import bytes_to_words_device
+from redux_tpu.ops.coder import bytes_to_words_device, encode_blocks, max_block_words
+from redux_tpu.ops.generic import (
+    decode_blocks_generic,
+    dense_jax_model,
+    encode_blocks_generic,
+)
 from redux_tpu.ops.pallas_decode import decode_blocks_pallas
 from redux_tpu.ops.pallas_model import model_lohi_pallas
 from redux_tpu.ops.ranks import precompute_encode_model
@@ -129,6 +137,38 @@ while time.time() < DEADLINE:
             print(f"MODEL MISMATCH trial={trial} params={(sb,fb,cb)} "
                   f"delta={delta} k={k} block={i}")
             sys.exit(1)
+    # generic device-path coders (every 4th trial; reference stream format)
+    if trial % 4 == 0:
+        model = dense_jax_model(params, ic, delta=delta)
+        w = max_block_words(
+            min(int(ic[-1]) + delta * (k + 1), params.freq_max),
+            params.symbol_count, params, k,
+        )
+        gw, gl = encode_blocks_generic(
+            jnp.asarray(syms), jnp.asarray(lens), model, params, w
+        )
+        sw, sl = encode_blocks(
+            *precompute_encode_model(
+                jnp.asarray(syms), jnp.asarray(lens), jnp.asarray(ic),
+                params.freq_max, delta=delta,
+            ),
+            jnp.asarray(lens), params, w,
+        )
+        if not (np.array_equal(np.asarray(gl), np.asarray(sl))
+                and np.array_equal(np.asarray(gw), np.asarray(sw))):
+            print(f"GENERIC ENCODE MISMATCH trial={trial} params={(sb,fb,cb)} "
+                  f"delta={delta} k={k}")
+            sys.exit(1)
+        dec = np.asarray(
+            decode_blocks_generic(gw, jnp.asarray(lens), model, params, k)
+        )
+        for i, b in enumerate(blocks):
+            if not np.array_equal(
+                dec[i, : len(b)], np.frombuffer(b, np.uint8).astype(np.int32)
+            ):
+                print(f"GENERIC DECODE MISMATCH trial={trial} "
+                      f"params={(sb,fb,cb)} delta={delta} k={k} block={i}")
+                sys.exit(1)
     if trial % 20 == 0:
         print(f"trial {trial} ok ({(sb,fb,cb)} d{delta} k{k})", flush=True)
     if trial % 40 == 0:
